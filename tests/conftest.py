@@ -1,0 +1,23 @@
+"""Test config: run on a virtual 8-device CPU mesh (no TPU required).
+
+Mirrors SURVEY.md §4's distributed-test strategy: multi-device semantics are
+validated with xla_force_host_platform_device_count; bit-level determinism
+replaces sanitizers.
+
+Note: this environment pins JAX_PLATFORMS=axon via sitecustomize, so the
+platform must be overridden through jax.config *after* importing jax but
+*before* backend initialization.
+"""
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,160 @@
+"""Function-space GP: exact batched conditioning via dense covariance solves.
+
+TPU-native re-design of GaussianProcess/MultivariateNormalDistribution
+(src/core/math/GaussianProcess.cpp:314-753, src/core/sampling/Gaussian.cpp:122-234).
+Everything operates on fixed-size point batches so one ray segment is a single
+dense (N+2)x(N+2) problem; rays are vmapped, so the chip sees batched
+matmul/Cholesky — MXU work.
+
+Derivative bookkeeping: the reference tags each row with Derivative::None or
+Derivative::First + a direction (GaussianProcess.hpp:122-134).  Here a row is
+(point[3], dtype in {0,1}, ddir[3]) and the covariance between rows comes from
+jax.jvp of the base kernel — replacing the reference's autodiff duals
+(GPFunctions.cpp:490-504) with JAX's own forward mode.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import rng as trng
+from ..utils.vecmath import dot
+
+D_NONE = 0
+D_FIRST = 1
+
+
+def cov_entry(cov_fn, pa, da, dira, pb, db, dirb):
+    """cov between two (possibly derivative) observations.
+
+    d/da, d/db, d2/dadb via nested jvp (CovarianceFunction::operator(),
+    GPFunctions.hpp:1145-1158)."""
+    def k(a, b):
+        return cov_fn(a, b)
+
+    def ka(a):
+        return k(a, pb)
+
+    v00 = k(pa, pb)
+    # directional derivative wrt a
+    _, v10 = jax.jvp(lambda a: k(a, pb), (pa,), (dira,))
+    _, v01 = jax.jvp(lambda b: k(pa, b), (pb,), (dirb,))
+
+    def da_fn(b):
+        _, t = jax.jvp(lambda a: k(a, b), (pa,), (dira,))
+        return t
+
+    _, v11 = jax.jvp(da_fn, (pb,), (dirb,))
+
+    da_is_first = da == D_FIRST
+    db_is_first = db == D_FIRST
+    return jnp.where(
+        da_is_first & db_is_first, v11,
+        jnp.where(da_is_first, v10, jnp.where(db_is_first, v01, v00)))
+
+
+def cov_matrix(cov_fn, pts_a, dts_a, dirs_a, pts_b, dts_b, dirs_b):
+    """Dense cross-covariance [Na, Nb] (cov_prior, GaussianProcess.cpp:461-498)."""
+    def row(pa, da, ga):
+        return jax.vmap(lambda pb, db, gb: cov_entry(
+            cov_fn, pa, da, ga, pb, db, gb))(pts_b, dts_b, dirs_b)
+
+    return jax.vmap(row)(pts_a, dts_a, dirs_a)
+
+
+def mean_vector(gp, pts, dts, dirs):
+    """Mean rows: value or directional derivative of the (min-)mean
+    (mean_prior, GaussianProcess.cpp:395-415). Returns (mean, ids)."""
+    m, ids = gp.mean_and_id(pts)
+    g = gp.mean_grad_by_id(pts, ids)
+    dm = dot(g, dirs)
+    return jnp.where(dts == D_FIRST, dm, m), ids
+
+
+def _sqrt_psd(a, jitter=1e-6):
+    """Matrix square root: Cholesky with diagonal jitter, eigh fallback
+    (MultivariateNormalDistribution ctor, Gaussian.cpp:122-170)."""
+    n = a.shape[-1]
+    aj = a + jitter * jnp.eye(n, dtype=a.dtype) * jnp.maximum(
+        jnp.trace(a) / n, 1.0)
+    chol = jnp.linalg.cholesky(aj)
+    ok = jnp.all(jnp.isfinite(chol))
+    w, v = jnp.linalg.eigh(a)
+    sqrt_eig = v * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]
+    return jnp.where(ok, jnp.where(jnp.isfinite(chol), chol, 0.0), sqrt_eig)
+
+
+def pseudo_inverse(a, eps_scale=1e-6):
+    """Eigendecomposition pseudo-inverse (GaussianProcess.cpp:656-662) —
+    the reference's only solver that is robust for chained conditioning."""
+    w, v = jnp.linalg.eigh(a)
+    eps = eps_scale * jnp.max(jnp.abs(w))
+    w_inv = jnp.where(jnp.abs(w) <= eps, 0.0, 1.0 / jnp.where(w == 0, 1.0, w))
+    u = v * jnp.sqrt(jnp.maximum(w_inv, 0.0))[None, :]
+    # general (possibly signed) pinv: v diag(w_inv) v^T
+    return (v * w_inv[None, :]) @ v.T
+
+
+def conditional_mvn(gp, cov_fn, pts, dts, dirs, cond_pts, cond_dts, cond_dirs,
+                    cond_vals):
+    """Schur-complement conditioning (create_mvn_cond,
+    GaussianProcess.cpp:664-753).  Returns (mean, cov_sqrt, ids)."""
+    s11 = cov_matrix(cov_fn, cond_pts, cond_dts, cond_dirs,
+                     cond_pts, cond_dts, cond_dirs)
+    s12 = cov_matrix(cov_fn, cond_pts, cond_dts, cond_dirs, pts, dts, dirs)
+    solved = (pseudo_inverse(s11) @ s12).T  # [N, Nc]
+
+    m2, ids = mean_vector(gp, pts, dts, dirs)
+    m1, _ = mean_vector(gp, cond_pts, cond_dts, cond_dirs)
+    mean = m2 + solved @ (cond_vals - m1)
+
+    s22 = cov_matrix(cov_fn, pts, dts, dirs, pts, dts, dirs)
+    s2 = s22 - solved @ s12
+    return mean, _sqrt_psd(0.5 * (s2 + s2.T)), ids
+
+
+def prior_mvn(gp, cov_fn, pts, dts, dirs):
+    m, ids = mean_vector(gp, pts, dts, dirs)
+    s = cov_matrix(cov_fn, pts, dts, dirs, pts, dts, dirs)
+    return m, _sqrt_psd(0.5 * (s + s.T)), ids
+
+
+def sample_mvn(mean, cov_sqrt, key, ctr):
+    """One realization x = mean + sqrt(C) z (Gaussian.cpp:172-177)."""
+    n = mean.shape[-1]
+    idx = jnp.arange((n + 1) // 2, dtype=jnp.uint32)
+    a, b = trng.normal2(key, ctr * jnp.uint32((n + 1) // 2) + idx)
+    z = jnp.stack([a, b], axis=-1).reshape(-1)[:n]
+    return mean + cov_sqrt @ z
+
+
+def sample_truncated_normal(mean, sigma, a, key, ctr):
+    """One-sided truncated normal via inverse-CDF (rand_truncated_normal,
+    Gaussian.cpp:57-85): x >= a."""
+    u = trng.uniform(key, ctr)
+    from jax.scipy.special import erf, erfinv
+    alpha = (a - mean) / jnp.maximum(sigma, 1e-12)
+    phi_a = 0.5 * (1.0 + erf(alpha / jnp.sqrt(2.0)))
+    uu = phi_a + u * (1.0 - phi_a)
+    uu = jnp.clip(uu, 1e-7, 1.0 - 1e-7)
+    return mean + sigma * jnp.sqrt(2.0) * erfinv(2.0 * uu - 1.0)
+
+
+def gp_cdf(gp, cov_fn, p):
+    """P(f(p) < 0) — free-flight skip criterion (GaussianProcess.cpp:776-782)."""
+    from jax.scipy.special import erf
+    var = cov_fn(p, p)
+    m, _ = gp.mean_and_id(p)
+    return 0.5 * (1.0 + erf((0.0 - m) / jnp.sqrt(jnp.maximum(var, 1e-20))
+                            / jnp.sqrt(2.0)))
+
+
+def make_cov_fn(gp):
+    """Base kernel over shell-embedded points (mean_and_cov embeds via
+    shell_embedding, GaussianProcess.cpp:341; embedding enabled per-GP)."""
+    cov = gp.cov
+
+    def cov_fn(a, b):
+        return cov.cov(a, b)
+
+    return cov_fn

@@ -1,0 +1,96 @@
+"""Small vector/frame math on trailing-axis-3 jnp arrays.
+
+Replaces the reference's Vec<T,N>/TangentFrame templates
+(src/core/math/Vec.hpp, src/core/math/TangentFrame.hpp).  The tangent-frame
+construction must match the reference's branchless Duff et al. 2017 basis
+exactly — the frame choice decides *which* GP realization a ray samples, so
+cross-implementation image comparisons depend on it
+(TangentFrame.hpp:74-84).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def length(a):
+    return jnp.sqrt(jnp.maximum(dot(a, a), 0.0))
+
+
+def length_sq(a):
+    return dot(a, a)
+
+
+def normalize(a, eps=0.0):
+    return a / jnp.maximum(length(a), eps)[..., None] if eps else a / length(a)[..., None]
+
+
+def safe_normalize(a, fallback=None):
+    n = length(a)
+    safe = n > 1e-20
+    out = a / jnp.where(safe, n, 1.0)[..., None]
+    if fallback is None:
+        fallback = jnp.zeros_like(a).at[..., 0].set(1.0)
+    return jnp.where(safe[..., None], out, fallback)
+
+
+def cross(a, b):
+    return jnp.cross(a, b)
+
+
+def vec3(x, y, z):
+    return jnp.stack(jnp.broadcast_arrays(
+        jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+        jnp.asarray(z, jnp.float32)), axis=-1)
+
+
+def reflect(w, n):
+    """Mirror w about normal n (both pointing away from surface convention of caller)."""
+    return 2.0 * dot(w, n)[..., None] * n - w
+
+
+def tangent_frame(n):
+    """Branchless orthonormal basis of Duff et al. 2017 (public algorithm;
+    matches reference TangentFrame.hpp:74-84).  Returns (tangent, bitangent),
+    with `n` the frame normal.  `n` must be normalized."""
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    t = jnp.stack([1.0 + sign * nx * nx * a, sign * b, -sign * nx], axis=-1)
+    bt = jnp.stack([b, sign + ny * ny * a, -ny], axis=-1)
+    return t, bt
+
+
+def frame_to_local(t, b, n, v):
+    """World vector -> (tangent, bitangent, normal) coordinates."""
+    return jnp.stack([dot(t, v), dot(b, v), dot(n, v)], axis=-1)
+
+
+def frame_to_world(t, b, n, v):
+    return t * v[..., 0:1] + b * v[..., 1:2] + n * v[..., 2:3]
+
+
+def mat3_vec(m, v):
+    """[...,3,3] @ [...,3] -> [...,3]."""
+    return jnp.einsum("...ij,...j->...i", m, v)
+
+
+def mat3_t_vec(m, v):
+    return jnp.einsum("...ji,...j->...i", m, v)
+
+
+def outer3(a, b):
+    return a[..., :, None] * b[..., None, :]
+
+
+def lerp(a, b, t):
+    return a + (b - a) * t
+
+
+def luminance(rgb):
+    return (0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1]
+            + 0.0722 * rgb[..., 2])
