@@ -1,0 +1,221 @@
+"""Function-space GPIS medium: exact batched GP conditioning along the ray.
+
+Re-design of FunctionSpaceGaussianProcessMedium
+(src/core/media/FunctionSpaceGaussianProcessMedium.cpp:58-346): each ray
+segment places `sample_points` stratified points, draws one joint realization
+of the GP conditioned on the carried memory (None / Renewal / Renewal+:
+applyMemory, math/GaussianProcess.cpp:134-169), scans for the first sign
+change, and samples a conditioned 3D gradient at the crossing
+(GPRealNodeValues::sampleGrad, GaussianProcess.cpp:89-132).
+
+TPU mapping: per-ray chunks become batched [R, N+2, N+2] dense solves via
+eigh pseudo-inverse (the reference's only robust solver for chained
+conditioning, GaussianProcess.cpp:692-694) — MXU work, vmapped over rays.
+Chunk continuation runs under lax.while_loop with the 2-float Renewal+ carry.
+Global context (unbounded append) is intentionally bounded here: out of
+fixed-shape scope this round; Renewal+ matches the paper configs.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import gp as gpmod
+from ..ops import sparse_conv as sc
+from ..utils import rng as trng
+from ..utils.vecmath import dot, frame_to_world, normalize, tangent_frame
+
+D_NONE = gpmod.D_NONE
+D_FIRST = gpmod.D_FIRST
+
+
+def _chunk_key(pss, scene_seed, chunk):
+    pss = pss.astype(jnp.uint32)
+    return (trng.xxhash32_4(pss[0], pss[1], pss[2], pss[3])
+            + trng.xxhash32(scene_seed) + trng.xxhash32(chunk))
+
+
+def _sample_chunk(med, scene_seed, ro_seg, rd, t0, dt, n, carry_val,
+                  carry_grad, have_carry, pss, chunk_idx, u_offset):
+    """Draw one conditioned realization over n points starting at t0.
+
+    carry: (value, directional derivative) at t0 from the previous chunk
+    (Renewal+ memory; Renewal passes have_carry grad masked off).
+    Returns (ts[n], values[n], ids[n]).
+    """
+    gp = med.gp
+    cov_fn = gpmod.make_cov_fn(gp)
+    ctxt = med.cfg.ctxt
+
+    # stratified points (FunctionSpaceGaussianProcessMedium.cpp:114-124)
+    i = jnp.arange(n, dtype=jnp.float32)
+    frac = jnp.clip((i - u_offset) / (n - 1), 0.0, 1.0)
+    ts = t0 + dt * 0.1 + (dt * n - dt * 0.1) * frac
+    ts = ts.at[0].set(t0 + dt * 0.1).at[n - 1].set(t0 + dt * n)
+    pts = ro_seg[None, :] + ts[:, None] * rd[None, :]
+    dts = jnp.full(n, D_NONE, jnp.int32)
+    dirs = jnp.broadcast_to(rd, (n, 3))
+
+    p0 = ro_seg + t0 * rd
+    if ctxt in (sc.CTXT_RENEWAL, sc.CTXT_RENEWAL_PLUS):
+        nc = 2 if ctxt == sc.CTXT_RENEWAL_PLUS else 1
+        cond_pts = jnp.broadcast_to(p0, (nc, 3))
+        cond_dts = jnp.asarray([D_NONE, D_FIRST][:nc], jnp.int32)
+        cond_dirs = jnp.broadcast_to(rd, (nc, 3))
+        cond_vals = jnp.stack([carry_val, carry_grad][:nc])
+        mean, sqrt_cov, ids = gpmod.conditional_mvn(
+            gp, cov_fn, pts, dts, dirs, cond_pts, cond_dts, cond_dirs,
+            cond_vals)
+        mean_p, sqrt_p, ids_p = gpmod.prior_mvn(gp, cov_fn, pts, dts, dirs)
+        mean = jnp.where(have_carry, mean, mean_p)
+        sqrt_cov = jnp.where(have_carry, sqrt_cov, sqrt_p)
+        ids = jnp.where(have_carry, ids, ids_p)
+    else:
+        mean, sqrt_cov, ids = gpmod.prior_mvn(gp, cov_fn, pts, dts, dirs)
+
+    key = _chunk_key(pss, scene_seed, chunk_idx)
+    vals = gpmod.sample_mvn(mean, sqrt_cov, key, jnp.uint32(11))
+    return ts, vals, ids
+
+
+def _find_crossing(ts, vals, skip_first):
+    """First sign change; returns (crossed, idx, t_interp, v_prev, v_next)."""
+    n = vals.shape[0]
+    s = jnp.where(vals < 0, -1, 1)
+    flips = s[1:] != s[:-1]
+    if_skip = jnp.arange(n - 1) >= jnp.where(skip_first, 1, 0)
+    flips = flips & if_skip
+    any_flip = jnp.any(flips)
+    idx = jnp.argmax(flips)  # first True
+    v0, v1 = vals[idx], vals[idx + 1]
+    off = v0 / jnp.where(v0 == v1, 1.0, v0 - v1)
+    t = ts[idx] + (ts[idx + 1] - ts[idx]) * off
+    return any_flip, idx, t, v0, v1, off
+
+
+def _sample_grad_at(med, scene_seed, ro_seg, rd, ts, vals, cross_idx, t_cross,
+                    off, crossed, pss):
+    """Conditioned 3D gradient at the segment end (sampleGrad,
+    GaussianProcess.cpp:89-132).
+
+    Conditioning rows: the chunk's sample points up to the crossing, plus the
+    interpolated crossing value and the along-ray derivative (makeIntersect,
+    GaussianProcess.cpp:76-87).  Points past the crossing are masked by
+    moving them far away (zero covariance — the pinv drops them), matching
+    the reference's row truncation.
+    """
+    gp = med.gp
+    cov_fn = gpmod.make_cov_fn(gp)
+    n = ts.shape[0]
+
+    v_cross = vals[cross_idx] + (vals[cross_idx + 1] - vals[cross_idx]) * off
+    dt_local = ts[cross_idx] - ts[cross_idx + 1]
+    dv_cross = (vals[cross_idx] - vals[cross_idx + 1]) / jnp.where(
+        dt_local == 0, 1.0, -dt_local)  # d/dt toward +t
+
+    ip = ro_seg + jnp.where(crossed, t_cross, ts[-1])[None] * rd
+
+    idx_all = jnp.arange(n)
+    FAR = 1.0e5
+    # rows after the crossing become no-ops; when not crossed, keep all rows
+    keep = jnp.where(crossed, idx_all < cross_idx, jnp.ones(n, bool))
+    row_pts = jnp.where(keep[:, None],
+                        ro_seg[None, :] + ts[:, None] * rd[None, :],
+                        ro_seg[None, :] + FAR * (2.0 + idx_all[:, None]))
+    row_vals = jnp.where(keep, vals, 0.0)
+    row_dts = jnp.full(n, D_NONE, jnp.int32)
+    row_dirs = jnp.broadcast_to(rd, (n, 3))
+
+    # crossing rows (value + derivative); when not crossed only the
+    # derivative row is dropped (reference conditions the full grad on the
+    # plain chunk samples, GaussianProcess.cpp:111-127)
+    extra_pts = jnp.stack([ip, ip])
+    extra_dts = jnp.asarray([D_NONE, D_FIRST], jnp.int32)
+    extra_dirs = jnp.stack([rd, rd])
+    extra_vals = jnp.stack([jnp.where(crossed, v_cross, 0.0),
+                            jnp.where(crossed, dv_cross, 0.0)])
+    extra_pts = jnp.where(crossed, extra_pts,
+                          ro_seg[None, :] + FAR * jnp.array([[1.002], [1.004]]))
+
+    cond_pts = jnp.concatenate([row_pts, extra_pts])
+    cond_dts = jnp.concatenate([row_dts, extra_dts])
+    cond_dirs = jnp.concatenate([row_dirs, extra_dirs])
+    cond_vals = jnp.concatenate([row_vals, extra_vals])
+
+    tg, bt = tangent_frame(rd)
+    qry_pts = jnp.stack([ip, ip, ip])
+    qry_dts = jnp.full(3, D_FIRST, jnp.int32)
+    qry_dirs = jnp.stack([tg, bt, rd])
+
+    mean, sqrt_cov, _ = gpmod.conditional_mvn(
+        gp, cov_fn, qry_pts, qry_dts, qry_dirs, cond_pts, cond_dts, cond_dirs,
+        cond_vals)
+    key = _chunk_key(pss, scene_seed, jnp.uint32(0xD00D))
+    g = gpmod.sample_mvn(mean, sqrt_cov, key, jnp.uint32(23))
+    # crossed: the along-ray derivative is pinned to the crossing derivative
+    gz = jnp.where(crossed, dv_cross, g[2])
+    grad = frame_to_world(tg, bt, rd, jnp.stack([g[0], g[1], gz]))
+    return grad, v_cross, dv_cross
+
+
+def sample_distance_fs_one(med, scene_seed, ro, rd, near, far, first_scatter,
+                           carry_val, carry_grad, have_carry, info_t, pss,
+                           u_offset, active):
+    """Single-ray chunked function-space march; designed for vmap.
+
+    Returns dict(hit, t, grad[3], end_val, end_grad_z, gp_id).
+    """
+    n = med.sample_points
+    seg_len = far - near
+    dt_full = seg_len / n
+    dt = jnp.where((med.step_size > 0) & (med.step_size < dt_full),
+                   med.step_size, dt_full)
+    max_chunks = 64
+
+    def cond(c):
+        return c["running"] & (c["chunk"] < max_chunks)
+
+    def body(c):
+        t0 = c["t0"]
+        ts, vals, ids = _sample_chunk(
+            med, scene_seed, ro, rd, t0, dt, n, c["carry_val"],
+            c["carry_grad"], c["have_carry"], pss, c["chunk"], u_offset)
+        skip_first = (~first_scatter) & (c["chunk"] == 0)
+        crossed, idx, t_cross, v0, v1, off = _find_crossing(ts, vals,
+                                                            skip_first)
+        grad, v_cross, dv_cross = _sample_grad_at(
+            med, scene_seed, ro, rd, ts, vals, idx, t_cross, off, crossed,
+            pss)
+        t_end = ts[-1]
+        reached_far = t_end >= far - 1e-6
+        running = (~crossed) & (~reached_far)
+        return {
+            "t0": t_end,
+            "chunk": c["chunk"] + jnp.uint32(1),
+            "running": running,
+            "hit": crossed,
+            "t_hit": jnp.where(crossed, t_cross, far),
+            "grad": grad,
+            "end_val": vals[-1],
+            "carry_val": jnp.where(crossed, v_cross, vals[-1]),
+            "carry_grad": dot(grad, rd),
+            "have_carry": jnp.asarray(True),
+            "gp_id": jnp.where(crossed, ids[idx], ids[-1]),
+        }
+
+    init = {
+        "t0": near, "chunk": jnp.uint32(0),
+        "running": active,
+        "hit": jnp.asarray(False),
+        "t_hit": far,
+        "grad": jnp.zeros(3),
+        "end_val": jnp.float32(0.0),
+        "carry_val": carry_val,
+        "carry_grad": carry_grad,
+        "have_carry": have_carry,
+        "gp_id": jnp.int32(0),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    return {"hit": out["hit"] & active, "t": out["t_hit"],
+            "grad": out["grad"], "end_val": out["carry_val"],
+            "gp_id": out["gp_id"]}

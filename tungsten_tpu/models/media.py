@@ -1,0 +1,464 @@
+"""Media: the GPIS <-> transport contract, batched over rays.
+
+Re-design of the reference's Medium/GaussianProcessMedium stack
+(src/core/media/Medium.hpp:50-115, GaussianProcessMedium.cpp:221-398,
+SparseConvolutionNoiseMedium.cpp:102-183) as fixed-shape batched kernels:
+
+- `MediumState` is an SoA pytree over the ray batch — the per-path GP memory
+  (firstScatter, lastAniso, lastVal, accumulated info.t, 1D scheme, and the
+  Renewal/Renewal+ conditioning coefficients, 8 floats/ray).
+- `sample_distance` runs the fixed-step sign-change march as one
+  `lax.while_loop` over the whole batch (uniform control flow; done rays are
+  masked).  The secant-style refinement (intp *= 0.9 loop,
+  SparseConvolutionNoiseMedium.cpp:143-160) runs as a second bounded loop for
+  all crossed rays jointly, so the expensive noise evaluation is always a
+  full-batch VPU op.
+- `transmittance` is the same march returning binary visibility
+  (GaussianProcessMedium.cpp:343-393).
+
+Weight-space and function-space media share the march frontend and swap the
+field evaluator, mirroring how all three reference media share
+GaussianProcessMedium::sampleDistance.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import gp as gpmod
+from ..ops import sparse_conv as sc
+from ..ops import weight_space as ws
+from ..utils import rng as trng
+from ..utils.pytree import static_field, struct
+from ..utils.vecmath import dot, normalize
+
+MEDIUM_NONE = -1
+
+GPIS_SPARSE_CONV = "sparse_conv_noise"
+GPIS_WEIGHT_SPACE = "weight_space"
+GPIS_FUNCTION_SPACE = "function_space"
+MEDIUM_HOMOGENEOUS = "homogeneous"
+
+NORMAL_CONDITIONED = "conditioned_gaussian"
+NORMAL_FD = "finite_differences"
+NORMAL_BECKMANN = "beckmann"
+NORMAL_GGX = "ggx"
+
+
+@struct(meta=("kind", "min_step", "max_march_steps", "normal_method",
+              "sample_points", "basis_functions", "phase_kind",
+              "phase_bsdf"))
+class Medium:
+    """One medium's static config + differentiable parameters."""
+    sigma_a: jnp.ndarray  # [3]
+    sigma_s: jnp.ndarray  # [3]
+    density: jnp.ndarray
+    step_size: jnp.ndarray
+    cfg: sc.SparseConvConfig
+    gp: sc.GP
+    hg_g: jnp.ndarray
+    kind: str = static_field(default=GPIS_SPARSE_CONV)
+    min_step: int = static_field(default=8)
+    max_march_steps: int = static_field(default=8192)
+    normal_method: str = static_field(default=NORMAL_CONDITIONED)
+    sample_points: int = static_field(default=32)  # function space
+    basis_functions: int = static_field(default=300)  # weight space
+    phase_kind: str = static_field(default="isotropic")
+    phase_bsdf: int = static_field(default=-1)  # BRDF-phase bsdf index
+
+    @property
+    def sigma_t(self):
+        return (self.sigma_a + self.sigma_s) * self.density
+
+    @property
+    def absorption_only(self):
+        return False  # GPIS media always scatter in our supported configs
+
+
+@struct
+class MediumState:
+    """Per-ray GP memory (Medium.hpp:59-88 MediumState + the sparse-conv
+    conditioning coefficients that the reference keeps in GPContext)."""
+    first_scatter: jnp.ndarray  # [R] bool
+    bounce: jnp.ndarray  # [R] i32
+    last_gp_id: jnp.ndarray  # [R] i32
+    last_aniso: jnp.ndarray  # [R,3]
+    last_val: jnp.ndarray  # [R]
+    info_t: jnp.ndarray  # [R] accumulated path distance (RayInfo::t)
+    scheme: jnp.ndarray  # [R] i32 (active 1D sampling scheme)
+    coeff3: sc.Coeffs  # batched leaves
+    coeff1: sc.Coeffs
+
+    @staticmethod
+    def make(n):
+        return MediumState(
+            first_scatter=jnp.ones(n, bool),
+            bounce=jnp.zeros(n, jnp.int32),
+            last_gp_id=jnp.zeros(n, jnp.int32),
+            last_aniso=jnp.zeros((n, 3), jnp.float32),
+            last_val=jnp.zeros(n, jnp.float32),
+            info_t=jnp.zeros(n, jnp.float32),
+            scheme=jnp.zeros(n, jnp.int32),
+            coeff3=sc.Coeffs(value_scale=jnp.zeros(n, jnp.float32),
+                             gradient_scale=jnp.zeros((n, 3), jnp.float32),
+                             ray_origin=jnp.zeros((n, 3), jnp.float32)),
+            coeff1=sc.Coeffs(value_scale=jnp.zeros(n, jnp.float32),
+                             gradient_scale=jnp.zeros((n, 3), jnp.float32),
+                             ray_origin=jnp.zeros((n, 3), jnp.float32)))
+
+    def reset_where(self, mask):
+        """mediumState.reset() on boundary-crossing rays
+        (Medium.hpp:71-80, TraceBase.cpp:618-620)."""
+        fresh = MediumState.make(self.first_scatter.shape[0])
+        keep_info = replace(fresh, info_t=self.info_t)
+        return jax.tree_util.tree_map(
+            lambda f, o: jnp.where(
+                mask.reshape(mask.shape + (1,) * (f.ndim - 1)), f, o),
+            keep_info, self)
+
+
+def _select(mask, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(mask.reshape(mask.shape + (1,) * (x.ndim - 1)),
+                               x, y), a, b)
+
+
+# ---------------------------------------------------------------------------
+# Field evaluators (value along the ray), one per GPIS representation
+# ---------------------------------------------------------------------------
+
+def _sc_value_b(med, scene_seed):
+    """Batched sparse-conv value evaluator f(t) for the march."""
+    cfg, gp = med.cfg, med.gp
+
+    def one(c3, c1, p, t, rd, pss, info_t):
+        v, gid = sc.eval_value(cfg, gp, c3, c1, p, t, rd, pss, scene_seed,
+                               info_t)
+        return v, gid
+
+    return jax.vmap(one)
+
+
+def _ws_real(med, pss, scene_seed):
+    """Per-ray RFF realization (re-synthesized, not stored)
+    (WeightSpaceGaussianProcessMedium.cpp:74-78)."""
+    cfg = med.cfg
+    if cfg.use_single_realization:
+        pss0 = jnp.zeros_like(pss)
+        return ws.sample_realization(med.gp.cov, med.basis_functions, pss0,
+                                     cfg.global_seed, True)
+    return ws.sample_realization(med.gp.cov, med.basis_functions, pss,
+                                 cfg.global_seed,
+                                 cfg.ctxt == sc.CTXT_GLOBAL)
+
+
+def _ws_value_b(med, scene_seed):
+    gp = med.gp
+
+    def one(c3, c1, p, t, rd, pss, info_t):
+        real = _ws_real(med, pss, scene_seed)
+        return ws.evaluate(real, gp, p)
+
+    return jax.vmap(one)
+
+
+def make_value_fn(med, scene_seed):
+    if med.kind == GPIS_WEIGHT_SPACE:
+        return _ws_value_b(med, scene_seed)
+    return _sc_value_b(med, scene_seed)
+
+
+# ---------------------------------------------------------------------------
+# The march (SparseConvolutionNoiseMedium::intersectGP, :102-183)
+# ---------------------------------------------------------------------------
+
+def march(med, value_fn, ro, rd, near, far, state, pss, u_jitter, active):
+    """Fixed-step sign-change march over the ray batch.
+
+    Returns dict(hit[R] bool, t[R], end_val[R], gp_id[R]).
+    `active` masks rays that are actually inside this medium this bounce.
+    """
+    R = ro.shape[0]
+    step = jnp.minimum(med.step_size, (far - near) / med.min_step)
+    step = jnp.maximum(step, 1e-6)
+
+    def value_at(t):
+        p = ro + t[:, None] * rd
+        v, gid = value_fn(state.coeff3, state.coeff1, p, t - near, rd, pss,
+                          state.info_t)
+        return v, gid
+
+    f0, gid0 = value_at(near)
+    sign0 = jnp.where(f0 < 0, -1, 1)
+
+    t1 = near + step * u_jitter
+
+    def cond(carry):
+        return jnp.any(carry["marching"])
+
+    def body(carry):
+        t = carry["t"]
+        fc, gid = value_at(t)
+        signc = jnp.where(fc < 0, -1, 1)
+        first_step = carry["step_idx"] == 1
+        absorb = (~state.first_scatter) & first_step
+        new_sign0 = jnp.where(absorb, signc, carry["sign0"])
+        crossed_now = carry["marching"] & (~absorb) & (signc != new_sign0)
+
+        out = {
+            "t": jnp.where(carry["marching"], t + step, t),
+            "pf": jnp.where(carry["marching"], fc, carry["pf"]),
+            "sign0": new_sign0,
+            "step_idx": carry["step_idx"] + 1,
+            "crossed": carry["crossed"] | crossed_now,
+            "t_hi": jnp.where(crossed_now, t, carry["t_hi"]),
+            "f_lo": jnp.where(crossed_now, carry["pf"], carry["f_lo"]),
+            "f_hi": jnp.where(crossed_now, fc, carry["f_hi"]),
+            "gp_id": jnp.where(carry["marching"], gid, carry["gp_id"]),
+            "end_val": jnp.where(carry["marching"], fc, carry["end_val"]),
+            "marching": carry["marching"] & (~crossed_now)
+                        & (t + step < far),
+        }
+        return out
+
+    init = {
+        "t": t1, "pf": f0, "sign0": sign0,
+        "step_idx": jnp.ones(R, jnp.int32),
+        "crossed": jnp.zeros(R, bool),
+        "t_hi": jnp.zeros(R, jnp.float32),
+        "f_lo": f0, "f_hi": f0,
+        "gp_id": gid0,
+        "end_val": f0,
+        "marching": active & (t1 < far),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+
+    crossed = out["crossed"]
+    t_hi = out["t_hi"]
+    t_lo = t_hi - step
+    f_lo, f_hi = out["f_lo"], out["f_hi"]
+    sign0 = out["sign0"]
+
+    # Secant-style refinement, all crossed rays together (:143-160)
+    intp0 = f_lo / jnp.where(f_lo == f_hi, 1.0, f_lo - f_hi)
+
+    def rcond(c):
+        return jnp.any(c["refining"]) & (c["it"] < 64)
+
+    def rbody(c):
+        t_test = t_lo + (t_hi - t_lo) * c["intp"]
+        f_test, _ = value_at(jnp.where(c["refining"], t_test, near))
+        sign_test = jnp.where(f_test < 0, -1, 1)
+        done_ok = sign_test == sign0  # back on start side: stop, keep prev
+        new_intp = c["intp"] * 0.9
+        dead = new_intp <= 0.01  # degenerate: report t=0 (:154-157)
+        t_prev = jnp.where(c["refining"] & ~done_ok,
+                           jnp.where(dead, 0.0, t_test), c["t_prev"])
+        return {
+            "intp": jnp.where(c["refining"], new_intp, c["intp"]),
+            "t_prev": t_prev,
+            "refining": c["refining"] & ~done_ok & ~dead,
+            "it": c["it"] + 1,
+        }
+
+    rinit = {
+        "intp": intp0,
+        "t_prev": t_lo + (t_hi - t_lo) * intp0,
+        "refining": crossed,
+        "it": jnp.int32(0),
+    }
+    rout = jax.lax.while_loop(rcond, rbody, rinit)
+
+    t_hit = jnp.where(crossed, rout["t_prev"], far)
+    return {"hit": crossed & active, "t": jnp.where(active, t_hit, far),
+            "end_val": out["end_val"], "gp_id": out["gp_id"]}
+
+
+# ---------------------------------------------------------------------------
+# Gradient sampling at segment ends
+# ---------------------------------------------------------------------------
+
+def sample_gradient(med, scene_seed, p, t_seg, rd, state, pss):
+    """Medium-specific gradient/normal draw
+    (SparseConvolutionNoiseMedium.cpp:93-100,
+     WeightSpaceGaussianProcessMedium.cpp:64-157)."""
+    cfg, gp = med.cfg, med.gp
+
+    if med.kind == GPIS_WEIGHT_SPACE:
+        def one(p_i, pss_i):
+            real = _ws_real(med, pss_i, scene_seed)
+            return ws.evaluate_gradient(real, gp, p_i)
+        return jax.vmap(one)(p, pss)
+
+    def one(c3, c1, p_i, t_i, rd_i, pss_i, it_i):
+        return sc.eval_gradient(cfg, gp, c3, c1, p_i, t_i, rd_i, pss_i,
+                                scene_seed, it_i)
+
+    return jax.vmap(one)(state.coeff3, state.coeff1, p, t_seg, rd, pss,
+                         state.info_t)
+
+
+# ---------------------------------------------------------------------------
+# Function-space driver (models/fs_medium.py does the per-ray chunked work)
+# ---------------------------------------------------------------------------
+
+def _sample_distance_fs(med, scene_seed, ro, rd, near, far, state, pss,
+                        u_jitter, active):
+    from . import fs_medium as fs
+
+    res = jax.vmap(lambda o, d, nr, fr, fsc, cv, cg, hc, it, ps, uo, ac:
+                   fs.sample_distance_fs_one(med, scene_seed, o, d, nr, fr,
+                                             fsc, cv, cg, hc, it, ps, uo, ac))(
+        ro, rd, near, far, state.first_scatter, state.last_val,
+        jax.vmap(dot)(state.last_aniso, rd), ~state.first_scatter,
+        state.info_t, pss, u_jitter, active)
+
+    hit = res["hit"]
+    t = res["t"]
+    grad = res["grad"]
+    ip = ro + t[:, None] * rd
+
+    grad_ok = jnp.isfinite(jnp.sum(grad, axis=-1))
+    wrong_side = hit & (dot(grad, rd) > 0.0)
+    zero_grad = hit & (dot(grad, grad) < 1e-7)
+    failed = active & (wrong_side | zero_grad | ~grad_ok)
+
+    sig_s = med.sigma_s * med.density
+    sig_t = jnp.maximum(med.sigma_t, 1e-9)
+    weight = jnp.where(hit[:, None], (sig_s / sig_t)[None, :], 1.0)
+
+    new_state = replace(
+        state,
+        first_scatter=jnp.where(active, False, state.first_scatter),
+        last_aniso=jnp.where(active[:, None], grad, state.last_aniso),
+        last_val=jnp.where(active, jnp.where(hit, 0.0, res["end_val"]),
+                           state.last_val),
+        last_gp_id=jnp.where(active & hit, res["gp_id"], state.last_gp_id),
+        scheme=jnp.where(active, sc.SCHEME_UNI, state.scheme),
+        info_t=jnp.where(active, state.info_t + t - near, state.info_t),
+        bounce=jnp.where(active, state.bounce + 1, state.bounce),
+    )
+    return ({"exited": ~hit, "t": t, "weight": weight, "aniso": grad,
+             "gp_id": res["gp_id"], "scheme": jnp.zeros_like(res["gp_id"]),
+             "failed": failed}, new_state)
+
+
+# ---------------------------------------------------------------------------
+# sampleDistance / transmittance drivers
+# (GaussianProcessMedium.cpp:221-341 / :343-393)
+# ---------------------------------------------------------------------------
+
+def _precondition(med, scene_seed, ro, rd, near, state, pss, active):
+    """Condition the fresh per-bounce realization at the secondary-ray start
+    (SparseConvolutionNoiseMedium.cpp:117-123)."""
+    if med.kind != GPIS_SPARSE_CONV or not med.cfg.activate_conditioning:
+        return state
+    cfg, gp = med.cfg, med.gp
+    need = active & (~state.first_scatter)
+    p0 = ro + near[:, None] * rd
+
+    def one(p_i, rd_i, tv, tg, pss_i, it_i, c3, c1):
+        return sc.conditioning(cfg, gp, c3, c1, p_i, rd_i, tv, tg, pss_i,
+                               scene_seed, it_i, active=True)
+
+    c3n, c1n = jax.vmap(one)(p0, rd, state.last_val, state.last_aniso, pss,
+                             state.info_t, state.coeff3, state.coeff1)
+    coeff3 = _select(need, c3n, state.coeff3)
+    coeff1 = _select(need, c1n, state.coeff1)
+    return replace(state, coeff3=coeff3, coeff1=coeff1)
+
+
+def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
+                    active):
+    """Batched Medium::sampleDistance.
+
+    Returns (result dict, new state).  result: exited[R] (no medium hit),
+    t[R], weight[R,3], aniso[R,3], gp_id[R], scheme[R], failed[R] (path
+    should be killed: wrong-sided/zero gradient,
+    GaussianProcessMedium.cpp:291-314)."""
+    far_eff = jnp.where(far < 1e30, far, near + 2000.0)  # Ray::infinity clamp (GaussianProcessMedium.cpp:228-231)
+
+    if med.kind == GPIS_FUNCTION_SPACE:
+        return _sample_distance_fs(med, scene_seed, ro, rd, near, far_eff,
+                                   state, pss, u_jitter, active)
+
+    state = _precondition(med, scene_seed, ro, rd, near, state, pss, active)
+    value_fn = make_value_fn(med, scene_seed)
+    m = jax.lax.stop_gradient(
+        march(med, value_fn, ro, rd, near, far_eff, state, pss, u_jitter,
+              active))
+
+    hit = m["hit"]
+    t = m["t"]
+    ip = ro + t[:, None] * rd
+    grad = sample_gradient(med, scene_seed, ip, t - near, rd, state, pss)
+
+    # Differentiable crossing: the march output satisfies f(t*, theta) ~= 0;
+    # reattach hyperparameter gradients via the implicit function theorem
+    # dt*/dtheta = -(df/dtheta)/(df/dt) as one Newton step around the detached
+    # root (df/dt = grad . rd).  This mirrors the secant refinement's fixed
+    # point (SparseConvolutionNoiseMedium.cpp:143-160) and is the standard
+    # differentiable-SDF-rendering estimator (SURVEY.md §7 design stance).
+    f_at_t, _ = value_fn(state.coeff3, state.coeff1, ip, t - near, rd, pss,
+                         state.info_t)
+    dfdt = jax.lax.stop_gradient(dot(grad, rd))
+    dfdt = jnp.where(jnp.abs(dfdt) < 1e-4, jnp.sign(dfdt) * 1e-4 + 1e-12,
+                     dfdt)
+    t_diff = t - (f_at_t - jax.lax.stop_gradient(f_at_t)) / dfdt
+    t = jnp.where(hit, t_diff, t)
+    ip = ro + t[:, None] * rd
+
+    grad_ok = jnp.isfinite(jnp.sum(grad, axis=-1))
+    wrong_side = hit & (dot(grad, rd) > 0.0)
+    zero_grad = hit & (dot(grad, grad) < 1e-7)
+    failed = active & (wrong_side | zero_grad | ~grad_ok)
+
+    # weight: GP color * sigma_s/sigma_t at the scatter point (:316-326)
+    sig_s = med.sigma_s * med.density
+    sig_t = jnp.maximum(med.sigma_t, 1e-9)
+    color = jnp.ones_like(ip)  # GP color fields: constant 1 unless mean has color
+    w_hit = color * (sig_s / sig_t)[None, :]
+    weight = jnp.where(hit[:, None], w_hit, 1.0)
+
+    scheme = jax.vmap(lambda p_i: sc.sampling_scheme(med.cfg, med.gp, p_i))(ip)
+    scheme = jnp.where(hit, scheme, sc.SCHEME_UNI)
+
+    new_state = replace(
+        state,
+        first_scatter=jnp.where(active, False, state.first_scatter),
+        last_aniso=jnp.where(active[:, None], grad, state.last_aniso),
+        last_val=jnp.where(active, jnp.where(hit, 0.0, m["end_val"]),
+                           state.last_val),
+        last_gp_id=jnp.where(active & hit, m["gp_id"], state.last_gp_id),
+        scheme=jnp.where(active, scheme, state.scheme),
+        info_t=jnp.where(active, state.info_t + t - near, state.info_t),
+        bounce=jnp.where(active, state.bounce + 1, state.bounce),
+    )
+    return ({"exited": ~hit, "t": t, "weight": weight, "aniso": grad,
+             "gp_id": m["gp_id"], "scheme": scheme, "failed": failed},
+            new_state)
+
+
+def transmittance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
+                  active):
+    """Binary visibility on the correlated realization
+    (GaussianProcessMedium::transmittance, :343-393).
+
+    The caller passes a *cloned* state (NEE semantics: TraceBase.cpp:291-294
+    sets firstScatter=true for surface NEE; volume NEE keeps conditioning and
+    overrides lastAniso via phase->evalGrad, TraceBase.cpp:370-374).
+    Returns transmittance[R] in {0,1}.
+    """
+    far_eff = jnp.where(far < 1e30, far, near + 2000.0)  # Ray::infinity clamp (GaussianProcessMedium.cpp:228-231)
+    if med.kind == GPIS_FUNCTION_SPACE:
+        res, _ = _sample_distance_fs(med, scene_seed, ro, rd, near, far_eff,
+                                     state, pss, u_jitter, active)
+        return jnp.where(active, jnp.where(res["exited"], 1.0, 0.0), 1.0)
+    state = _precondition(med, scene_seed, ro, rd, near, state, pss, active)
+    value_fn = make_value_fn(med, scene_seed)
+    m = march(med, value_fn, ro, rd, near, far_eff, state, pss, u_jitter,
+              active)
+    return jnp.where(active, jnp.where(m["hit"], 0.0, 1.0), 1.0)

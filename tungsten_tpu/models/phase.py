@@ -1,0 +1,119 @@
+"""Phase functions: isotropic, Henyey-Greenstein, Rayleigh, and the
+BRDF-as-phase-function that gives GPIS media their micro-surface response.
+
+Re-design of src/core/phasefunctions/: BRDFPhaseFunction uses the sampled GP
+gradient as the shading normal (BRDFPhaseFunction.cpp:27-44: frame =
+TangentFrame(aniso.normalized())).  The mirror/conductor NEE-pdf override for
+1D sparse-conv GPIS (MirrorBsdf.cpp:40-47) is applied by the integrator,
+which owns the noise context.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.vecmath import (dot, frame_to_local, frame_to_world, normalize,
+                             tangent_frame)
+from . import bsdfs
+
+PHASE_ISOTROPIC = "isotropic"
+PHASE_HG = "hg"
+PHASE_RAYLEIGH = "rayleigh"
+PHASE_BRDF = "brdf"
+
+INV_FOUR_PI = 1.0 / (4.0 * jnp.pi)
+
+
+def _uniform_sphere(u1, u2):
+    phi = u1 * 2.0 * jnp.pi
+    z = u2 * 2.0 - 1.0
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def _hg_sample(g, wi, u1, u2):
+    phi = u1 * 2.0 * jnp.pi
+    g = jnp.where(jnp.abs(g) < 1e-3, 1e-3, g)
+    sq = (1.0 - g * g) / (1.0 - g + 2.0 * g * u2)
+    cos_t = (1.0 + g * g - sq * sq) / (2.0 * g)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t**2, 0.0))
+    local = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t],
+                      axis=-1)
+    t, b = tangent_frame(wi)
+    return frame_to_world(t, b, wi, local)
+
+
+def _hg_pdf(g, cos_t):
+    return (INV_FOUR_PI * (1.0 - g * g)
+            / jnp.power(jnp.maximum(1.0 + g * g - 2.0 * g * cos_t, 1e-8), 1.5))
+
+
+def eval_phase(med, table, wi, wo, aniso):
+    """f(wi->wo); wi is the incoming propagation direction (ray.dir())."""
+    kind = med.phase_kind
+    if kind == PHASE_ISOTROPIC:
+        return jnp.full(wi.shape[:-1] + (3,), INV_FOUR_PI)
+    if kind == PHASE_HG:
+        c = dot(wi, wo)
+        return _hg_pdf(med.hg_g, c)[..., None] * jnp.ones(3)
+    if kind == PHASE_BRDF:
+        n = normalize(aniso)
+        t, b = tangent_frame(n)
+        wil = normalize(frame_to_local(t, b, n, -wi))
+        wol = normalize(frame_to_local(t, b, n, wo))
+        bi = jnp.asarray(med.phase_bsdf, jnp.int32)
+        return bsdfs.eval_bsdf(table, bi, wil, wol)
+    raise ValueError(kind)
+
+
+def pdf_phase(med, table, wi, wo, aniso):
+    kind = med.phase_kind
+    if kind == PHASE_ISOTROPIC:
+        return jnp.full(wi.shape[:-1], INV_FOUR_PI)
+    if kind == PHASE_HG:
+        return _hg_pdf(med.hg_g, dot(wi, wo))
+    if kind == PHASE_BRDF:
+        n = normalize(aniso)
+        t, b = tangent_frame(n)
+        wil = normalize(frame_to_local(t, b, n, -wi))
+        wol = normalize(frame_to_local(t, b, n, wo))
+        bi = jnp.asarray(med.phase_bsdf, jnp.int32)
+        return bsdfs.pdf_bsdf(table, bi, wil, wol)
+    raise ValueError(kind)
+
+
+def sample_phase(med, table, wi, aniso, u):
+    """Sample wo.  Returns dict(w, weight[3], pdf, specular, valid)."""
+    kind = med.phase_kind
+    shape = wi.shape[:-1]
+    if kind == PHASE_ISOTROPIC:
+        w = _uniform_sphere(u[..., 0], u[..., 1])
+        return {"w": w, "weight": jnp.ones(shape + (3,)),
+                "pdf": jnp.full(shape, INV_FOUR_PI),
+                "specular": jnp.zeros(shape, bool),
+                "valid": jnp.ones(shape, bool)}
+    if kind == PHASE_HG:
+        w = _hg_sample(med.hg_g, wi, u[..., 0], u[..., 1])
+        return {"w": w, "weight": jnp.ones(shape + (3,)),
+                "pdf": _hg_pdf(med.hg_g, dot(wi, w)),
+                "specular": jnp.zeros(shape, bool),
+                "valid": jnp.ones(shape, bool)}
+    if kind == PHASE_BRDF:
+        n = normalize(aniso)
+        t, b = tangent_frame(n)
+        wil = normalize(frame_to_local(t, b, n, -wi))
+        bi = jnp.asarray(med.phase_bsdf, jnp.int32)
+        s = bsdfs.sample_bsdf(table, bi, wil, jnp.moveaxis(u, -1, 0))
+        w = normalize(frame_to_world(t, b, n, s["wo"]))
+        # wrong normal side => invalid (handleVolume kills the path,
+        # TraceBase.cpp:553-556)
+        return {"w": w, "weight": s["weight"], "pdf": s["pdf"],
+                "specular": s["specular"], "valid": s["valid"]}
+    raise ValueError(kind)
+
+
+def phase_is_specular(med, table):
+    if med.phase_kind == PHASE_BRDF:
+        import numpy as np
+        k = int(np.asarray(table.kind)[med.phase_bsdf])
+        return k in bsdfs.SPECULAR_KINDS
+    return False

@@ -1,0 +1,400 @@
+"""Tungsten-compatible JSON scene parsing -> Scene pytree.
+
+Host-side (numpy) re-design of the reference's Scene::load / fromJson
+factory system (src/core/io/Scene.cpp:100-300, JsonPtr.cpp:108-185 for
+transforms, media/MediumFactory.cpp, math/GaussianProcessFactory.cpp).
+The same scene files drive both renderers; GP hyperparameters land in
+differentiable pytree leaves.
+"""
+from __future__ import annotations
+
+import json
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import bsdfs as bs
+from ..models import media as md
+from ..models import phase as ph
+from ..models import primitives as pr
+from ..models.camera import Camera
+from ..models.integrator import Scene
+from ..ops import sparse_conv as sc
+from ..ops.covariance import (MaternCov, RationalQuadraticCov,
+                              SquaredExponentialCov)
+from ..ops.means import (HomogeneousMean, LinearMean, ProceduralMean,
+                         SphericalMean)
+
+
+# ---------------------------------------------------------------------------
+# Transforms (io/JsonPtr.cpp:108-185)
+# ---------------------------------------------------------------------------
+
+def _gram_schmidt(a, b, c):
+    a = a / max(np.linalg.norm(a), 1e-20)
+    b = b - a * a.dot(b)
+    if np.linalg.norm(b) < 1e-5:
+        b = np.cross(c, a)
+    else:
+        b = b / np.linalg.norm(b)
+    c = c - a * a.dot(c)
+    c = c - b * b.dot(c)
+    if np.linalg.norm(c) < 1e-5:
+        c = np.cross(a, b)
+    else:
+        c = c / np.linalg.norm(c)
+    return a, b, c
+
+
+def _rot_yxz(rot):
+    r = np.asarray(rot, np.float64) * math.pi / 180.0
+    c = np.cos(r)
+    s = np.sin(r)
+    return np.array([
+        [c[1] * c[2] - s[1] * s[0] * s[2],
+         -c[1] * s[2] - s[1] * s[0] * c[2], -s[1] * c[0]],
+        [c[0] * s[2], c[0] * c[2], -s[0]],
+        [s[1] * c[2] + c[1] * s[0] * s[2],
+         -s[1] * s[2] + c[1] * s[0] * c[2], c[1] * c[0]],
+    ], np.float32)
+
+
+def parse_transform(v) -> np.ndarray:
+    """JSON transform -> 4x4 matrix (JsonPtr::get(Mat4f&))."""
+    if v is None:
+        return np.eye(4, dtype=np.float32)
+    if isinstance(v, list):
+        return np.asarray(v, np.float32).reshape(4, 4)
+    x = np.array([1.0, 0, 0])
+    y = np.array([0, 1.0, 0])
+    z = np.array([0, 0, 1.0])
+    pos = np.asarray(v.get("position", (0, 0, 0)), np.float64)
+    ex = ey = ez = False
+    if "look_at" in v:
+        z = np.asarray(v["look_at"], np.float64) - pos
+        ez = True
+    if "up" in v:
+        y = np.asarray(v["up"], np.float64)
+        ey = True
+    if "x_axis" in v:
+        x, ex = np.asarray(v["x_axis"], np.float64), True
+    if "y_axis" in v:
+        y, ey = np.asarray(v["y_axis"], np.float64), True
+    if "z_axis" in v:
+        z, ez = np.asarray(v["z_axis"], np.float64), True
+    case = (4 if ez else 0) + (2 if ey else 0) + (1 if ex else 0)
+    if case == 0 or case >= 4 and case != 5:
+        z, y, x = _gram_schmidt(z, y, x)
+    elif case == 1:
+        x, z, y = _gram_schmidt(x, z, y)
+    elif case == 2:
+        y, z, x = _gram_schmidt(y, z, x)
+    elif case == 3:
+        y, x, z = _gram_schmidt(y, x, z)
+    elif case == 5:
+        z, x, y = _gram_schmidt(z, x, y)
+    if np.cross(x, y).dot(z) < 0:
+        if not ex:
+            x = -x
+        elif not ey:
+            y = -y
+        else:
+            z = -z
+    scale = v.get("scale")
+    if scale is not None:
+        s = np.asarray(scale, np.float64)
+        if s.ndim == 0:
+            s = np.array([s, s, s])
+        x, y, z = x * s[0], y * s[1], z * s[2]
+    rot = v.get("rotation")
+    if rot is not None:
+        m = _rot_yxz(rot)
+        x, y, z = m @ x, m @ y, m @ z
+    tf = np.eye(4, dtype=np.float32)
+    tf[:3, 0], tf[:3, 1], tf[:3, 2], tf[:3, 3] = x, y, z, pos
+    return tf
+
+
+def _rgb(v, default=(1.0, 1.0, 1.0)):
+    if v is None:
+        return np.asarray(default, np.float32)
+    a = np.asarray(v, np.float32)
+    if a.ndim == 0:
+        return np.array([a, a, a], np.float32)
+    return a
+
+
+# ---------------------------------------------------------------------------
+# BSDFs (bsdfs/BsdfFactory.cpp names)
+# ---------------------------------------------------------------------------
+
+_BSDF_KINDS = {
+    "null": bs.NULL,
+    "lambert": bs.LAMBERT,
+    "mirror": bs.MIRROR,
+    "conductor": bs.CONDUCTOR,
+    "rough_conductor": bs.CONDUCTOR,  # smooth fallback until microfacet lands
+    "oren_nayar": bs.OREN_NAYAR,
+    "dielectric": bs.DIELECTRIC,
+    "rough_dielectric": bs.DIELECTRIC,
+    "forward": bs.FORWARD,
+    "transparency": bs.FORWARD,
+    "plastic": bs.LAMBERT,
+    "rough_plastic": bs.LAMBERT,
+    "thinsheet": bs.FORWARD,
+}
+
+# conductor presets (bsdfs/ComplexIorData.hpp) — spectral (eta, k) at RGB
+_CONDUCTORS = {
+    "Cu": ((0.2004, 0.9240, 1.1022), (3.9129, 2.4528, 2.1421)),
+    "Ag": ((0.1552, 0.1167, 0.1383), (4.8283, 3.1222, 2.1457)),
+    "Au": ((0.1431, 0.3749, 1.4424), (3.9831, 2.3857, 1.6032)),
+    "Al": ((1.6574, 0.8803, 0.5212), (9.2238, 6.2609, 4.8285)),
+}
+
+
+def parse_bsdf(b: dict) -> dict:
+    kind = _BSDF_KINDS.get(b.get("type", "lambert"), bs.LAMBERT)
+    out = {"kind": kind, "albedo": _rgb(b.get("albedo"), (0.8, 0.8, 0.8))}
+    if "ior" in b:
+        out["ior"] = float(b["ior"])
+    if "roughness" in b:
+        out["roughness"] = float(b["roughness"])
+    mat = b.get("material")
+    if mat in _CONDUCTORS:
+        out["eta"], out["k"] = _CONDUCTORS[mat]
+    if "eta" in b and isinstance(b["eta"], (list, tuple)):
+        out["eta"] = b["eta"]
+    if "k" in b:
+        out["k"] = b["k"]
+    if "enable_refraction" in b:
+        out["enable_refraction"] = bool(b["enable_refraction"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GP factory (math/GaussianProcessFactory.cpp:8-52)
+# ---------------------------------------------------------------------------
+
+def parse_mean(m: dict):
+    t = m.get("type", "homogeneous")
+    if t == "homogeneous":
+        return HomogeneousMean.create(offset=m.get("offset", 0.0))
+    if t == "spherical":
+        return SphericalMean.create(center=m.get("center", (0, 0, 0)),
+                                    radius=m.get("radius", 1.0))
+    if t == "linear":
+        return LinearMean.create(ref=m.get("reference_point", (0, 0, 0)),
+                                 direction=m.get("direction", (1, 0, 0)),
+                                 scale=m.get("scale", 1.0),
+                                 min_value=m.get("min", -3.0e38))
+    if t == "procedural":
+        fn = m.get("func", m.get("function", "knob"))
+        tf = parse_transform(m.get("transform"))
+        inv = np.linalg.inv(tf)
+        return ProceduralMean.create(fn_name=fn, transform=inv,
+                                     offset=m.get("offset", 0.0),
+                                     scale=m.get("scale", 1.0),
+                                     min_value=m.get("min", -3.0e38))
+    raise ValueError(f"mean type {t!r} not supported yet")
+
+
+def parse_cov(c: dict):
+    t = c.get("type", "squared_exponential")
+    aniso = c.get("aniso", (1.0, 1.0, 1.0))
+    ks = c.get("localScale", 3.0)
+    if t == "squared_exponential":
+        return SquaredExponentialCov.create(
+            sigma=c.get("sigma", 1.0), l=c.get("lengthScale", 1.0),
+            aniso=aniso, aniso_mtx=c.get("anisoMtx"), kernel_scale=ks)
+    if t == "rational_quadratic":
+        return RationalQuadraticCov.create(
+            sigma=c.get("sigma", 1.0), l=c.get("lengthScale", 1.0),
+            a=c.get("a", 1.0), aniso=aniso, kernel_scale=ks)
+    if t == "matern":
+        return MaternCov.create(sigma=c.get("sigma", 1.0),
+                                l=c.get("lengthScale", 1.0),
+                                nu=c.get("v", 1.5), aniso=aniso,
+                                kernel_scale=ks)
+    raise ValueError(f"covariance type {t!r} not supported yet")
+
+
+def parse_gp(g: dict) -> sc.GP:
+    t = g.get("type", "standard")
+    if t == "csg":
+        left = parse_gp(g["left"])
+        right = parse_gp(g["right"])
+        return sc.GP(mean=left.mean, cov=left.cov,
+                     mean_additional=right.mean)
+    mean = parse_mean(g.get("mean", {}))
+    cov = parse_cov(g.get("covariance", {}))
+    return sc.GP(mean=mean, cov=cov)
+
+
+# ---------------------------------------------------------------------------
+# Media (media/MediumFactory.cpp; SparseConvolutionNoiseMedium.cpp:57-91)
+# ---------------------------------------------------------------------------
+
+_CTXT = {"global": sc.CTXT_GLOBAL, "renewal+": sc.CTXT_RENEWAL_PLUS,
+         "renewal": sc.CTXT_RENEWAL, "none": sc.CTXT_NONE,
+         "goldfish": sc.CTXT_RENEWAL_PLUS}
+_SCHEME = {"uni": sc.SCHEME_UNI, "nee": sc.SCHEME_NEE, "mis": sc.SCHEME_MIS,
+           "UNI": sc.SCHEME_UNI, "NEE": sc.SCHEME_NEE, "MIS": sc.SCHEME_MIS}
+
+
+def parse_medium(m: dict, bsdf_names: dict) -> md.Medium:
+    t = m.get("type", "sparse_conv_noise")
+    kind = {"sparse_conv_noise": md.GPIS_SPARSE_CONV,
+            "weight_space_gaussian_process": md.GPIS_WEIGHT_SPACE,
+            "function_space_gaussian_process": md.GPIS_FUNCTION_SPACE,
+            "gaussian_process": md.GPIS_FUNCTION_SPACE,
+            "homogeneous": md.MEDIUM_HOMOGENEOUS}.get(t)
+    if kind is None:
+        raise ValueError(f"medium type {t!r} not supported yet")
+
+    gp = parse_gp(m.get("gaussian_process", {}))
+    cfg = sc.SparseConvConfig.create(
+        global_seed=m.get("seed", 0),
+        impulse_density=m.get("impulse_density", 3.0),
+        ctxt=_CTXT[m.get("correlation_context", "renewal+")],
+        use_single_realization=m.get("single_realization", False),
+        isotropic_3d=m.get("isotropic_3D_sampling", False),
+        one_d=m.get("1D_sampling", False),
+        scheme=_SCHEME[m.get("1D_sampling_scheme", "uni")],
+        correlation_xy=m.get("1D_gradient_correlationXY", False),
+        surf_vol_phase_separate=m.get("surf_vol_phase_separate", False),
+        surf_vol_phase_amp_thresh=m.get("surf_vol_phase_amp_thresh", 0.0),
+    )
+
+    phase_kind = ph.PHASE_ISOTROPIC
+    phase_bsdf = -1
+    pf = m.get("phase_function")
+    hg_g = 0.0
+    if isinstance(pf, dict):
+        pt = pf.get("type", "isotropic")
+        if pt == "brdf":
+            phase_kind = ph.PHASE_BRDF
+            bref = pf.get("bsdf")
+            if isinstance(bref, str):
+                phase_bsdf = bsdf_names[bref]
+            else:
+                phase_bsdf = bsdf_names["__inline_phase__"]
+        elif pt in ("henyey_greenstein", "hg"):
+            phase_kind = ph.PHASE_HG
+            hg_g = pf.get("g", 0.0)
+
+    return md.Medium(
+        sigma_a=jnp.asarray(_rgb(m.get("sigma_a"), (0, 0, 0))),
+        sigma_s=jnp.asarray(_rgb(m.get("sigma_s"), (1, 1, 1))),
+        density=jnp.float32(m.get("density", 1.0)),
+        step_size=jnp.float32(m.get("step_size", 0.01)),
+        cfg=cfg, gp=gp, hg_g=jnp.float32(hg_g),
+        kind=kind,
+        min_step=int(m.get("min_step", 8)),
+        normal_method=m.get("normal_method", "conditioned_gaussian"),
+        sample_points=int(m.get("sample_points", 32)),
+        basis_functions=int(m.get("basis_functions", 300)),
+        phase_kind=phase_kind, phase_bsdf=phase_bsdf)
+
+
+# ---------------------------------------------------------------------------
+# Scene assembly
+# ---------------------------------------------------------------------------
+
+_PRIM_KINDS = {"quad": pr.PRIM_QUAD, "sphere": pr.PRIM_SPHERE,
+               "cube": pr.PRIM_CUBE, "disk": pr.PRIM_DISK}
+
+
+def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
+    bsdf_list = []
+    bsdf_names = {}
+    for b in doc.get("bsdfs", []):
+        bsdf_names[b.get("name", f"bsdf{len(bsdf_list)}")] = len(bsdf_list)
+        bsdf_list.append(parse_bsdf(b))
+
+    def bsdf_index(ref):
+        if isinstance(ref, str):
+            return bsdf_names[ref]
+        if isinstance(ref, dict):
+            bsdf_list.append(parse_bsdf(ref))
+            return len(bsdf_list) - 1
+        return 0
+
+    # inline phase-function bsdfs get registered on demand
+    media_docs = doc.get("media", [])
+    for m in media_docs:
+        pf = m.get("phase_function")
+        if isinstance(pf, dict) and pf.get("type") == "brdf":
+            bref = pf.get("bsdf")
+            if isinstance(bref, dict):
+                bsdf_names["__inline_phase__"] = len(bsdf_list)
+                bsdf_list.append(parse_bsdf(bref))
+
+    medium_names = {}
+    media = []
+    for m in media_docs:
+        medium_names[m.get("name", f"medium{len(media)}")] = len(media)
+        media.append(parse_medium(m, bsdf_names))
+
+    def medium_index(ref):
+        if ref is None:
+            return -1
+        if isinstance(ref, str):
+            return medium_names[ref]
+        media.append(parse_medium(ref, bsdf_names))
+        return len(media) - 1
+
+    prims = []
+    for p in doc.get("primitives", []):
+        t = p.get("type", "quad")
+        if t not in _PRIM_KINDS:
+            raise ValueError(f"primitive type {t!r} not supported yet")
+        prims.append({
+            "kind": _PRIM_KINDS[t],
+            "transform": parse_transform(p.get("transform")),
+            "emission": _rgb(p.get("emission"), (0, 0, 0)),
+            "bsdf": bsdf_index(p.get("bsdf", 0)),
+            "int_medium": medium_index(p.get("int_medium")),
+            "ext_medium": medium_index(p.get("ext_medium")),
+        })
+
+    cam_doc = doc.get("camera", {})
+    res = cam_doc.get("resolution", [512, 512])
+    if isinstance(res, (int, float)):
+        res = [int(res), int(res)]
+    camera = Camera.create(
+        transform=parse_transform(cam_doc.get("transform")),
+        fov_deg=cam_doc.get("fov", 60.0), res=res,
+        kind=cam_doc.get("type", "pinhole"),
+        aperture=cam_doc.get("aperture_size", 0.0),
+        focus_dist=cam_doc.get("focus_distance", 1.0))
+    cam_medium = medium_index(cam_doc.get("medium"))
+
+    soa = pr.build_soa(prims)
+    lights = np.nonzero(np.asarray(soa.is_light))[0].astype(np.int32)
+
+    rdoc = doc.get("renderer", {})
+    integ = doc.get("integrator", {})
+    return Scene(
+        prims=soa,
+        bsdfs=bs.build_table(bsdf_list),
+        media=tuple(media),
+        camera=camera,
+        lights=jnp.asarray(lights),
+        scene_seed=jnp.uint32(seed),
+        max_bounces=int(integ.get("max_bounces", 64)),
+        min_bounces=int(integ.get("min_bounces", 0)),
+        enable_light_sampling=bool(integ.get("enable_light_sampling", True)),
+        enable_volume_light_sampling=bool(
+            integ.get("enable_volume_light_sampling", True)),
+        low_order_scattering=bool(integ.get("low_order_scattering", True)),
+        include_surfaces=bool(integ.get("include_surfaces", True)),
+        cam_medium=cam_medium,
+    ), rdoc
+
+
+def load_scene(path, seed=0xBA5EBA11):
+    with open(path) as f:
+        doc = json.load(f)
+    return scene_from_dict(doc, seed=seed)
