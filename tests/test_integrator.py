@@ -1,0 +1,125 @@
+"""Transport-level correctness: analytic direct lighting, furnace-style
+checks, determinism.  These compile the full wavefront loop at tiny
+resolution, so they are the slowest tests in the suite."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tungsten_tpu.models.camera import Camera
+from tungsten_tpu.models.integrator import render_pass, trace
+from tungsten_tpu.scene.parse import scene_from_dict
+
+
+def simple_light_scene(albedo=0.8, emission=5.0, res=8, max_bounces=2):
+    """Lambert floor at y=0 seen from above; quad light at y=2."""
+    doc = {
+        "bsdfs": [
+            {"name": "floor", "type": "lambert", "albedo": albedo},
+            {"name": "null", "type": "null", "albedo": 1},
+        ],
+        "primitives": [
+            {"name": "floor", "type": "quad",
+             "transform": {"scale": [4, 1, 4]}, "bsdf": "floor"},
+            {"name": "light", "type": "quad",
+             "transform": {"position": [0, 2, 0], "scale": [1, 1, 1],
+                           "rotation": [0, 0, -180]},
+             "bsdf": "null", "emission": emission},
+        ],
+        "camera": {"type": "pinhole", "fov": 30, "resolution": [res, res],
+                   "transform": {"position": [0, 1.0, 2.5],
+                                 "look_at": [0, 0, 0], "up": [0, 1, 0]}},
+        "integrator": {"max_bounces": max_bounces},
+    }
+    scene, _ = scene_from_dict(doc)
+    return scene
+
+
+def analytic_quad_irradiance(p, corners, normal_recv):
+    """Irradiance at p from a uniformly emitting rectangle with unit
+    radiance via the exact contour integral (Lambert's formula)."""
+    E = 0.0
+    n = len(corners)
+    for i in range(n):
+        a = corners[i] - p
+        b = corners[(i + 1) % n] - p
+        a = a / np.linalg.norm(a)
+        b = b / np.linalg.norm(b)
+        theta = np.arccos(np.clip(a.dot(b), -1, 1))
+        gamma = np.cross(a, b)
+        gamma = gamma / max(np.linalg.norm(gamma), 1e-12)
+        E += theta * gamma.dot(normal_recv)
+    return abs(E) / 2.0
+
+
+class TestDirectLighting:
+    def test_lambert_floor_matches_analytic(self):
+        """Pixel at the floor center must equal albedo/pi * E * Le."""
+        em = 5.0
+        alb = 0.8
+        scene = simple_light_scene(albedo=alb, emission=em, res=8,
+                                   max_bounces=2)
+        imgs = []
+        fn = jax.jit(lambda s: render_pass(scene, s))
+        for s in range(48):
+            imgs.append(np.asarray(fn(jnp.int32(s))))
+        img = np.mean(imgs, axis=0)
+
+        # the center pixels see the floor near the origin
+        center = img[3:5, 3:5, 0].mean()
+
+        # analytic: light quad corners (y=2, 1x1 centered)
+        corners = [np.array([sx * 0.5, 2.0, sz * 0.5])
+                   for sx, sz in [(-1, -1), (-1, 1), (1, 1), (1, -1)]]
+        E = analytic_quad_irradiance(np.zeros(3), corners,
+                                     np.array([0.0, 1.0, 0.0]))
+        expected = alb / np.pi * E * em
+        np.testing.assert_allclose(center, expected, rtol=0.06)
+
+    def test_light_seen_directly(self):
+        """Camera looking at the light records its radiance."""
+        doc_scene = simple_light_scene(emission=3.0, res=4)
+        cam = Camera.create(
+            transform=np.asarray(doc_scene.camera.transform) @ np.eye(4),
+            fov_deg=10.0, res=(4, 4))
+        # aim straight at the light from below
+        import numpy as _np
+        tf = _np.eye(4, dtype=_np.float32)
+        tf[:3, 3] = [0, 1.0, 0]
+        # look up: z-axis toward light
+        tf[:3, 2] = [0, 1, 0]
+        tf[:3, 1] = [0, 0, 1]
+        tf[:3, 0] = [1, 0, 0]
+        cam = Camera.create(transform=tf, fov_deg=10.0, res=(4, 4))
+        scene = dataclasses.replace(doc_scene, camera=cam)
+        img = np.asarray(jax.jit(lambda s: render_pass(scene, s))(
+            jnp.int32(0)))
+        np.testing.assert_allclose(img, 3.0, rtol=1e-4)
+
+    def test_deterministic(self):
+        scene = simple_light_scene(res=4)
+        fn = jax.jit(lambda s: render_pass(scene, s))
+        a = np.asarray(fn(jnp.int32(3)))
+        b = np.asarray(fn(jnp.int32(3)))
+        np.testing.assert_array_equal(a, b)
+        c = np.asarray(fn(jnp.int32(4)))
+        assert not np.array_equal(a, c)
+
+
+class TestGpisEndToEnd:
+    def test_sphere_box_scene_renders(self):
+        import json
+        import os
+        path = os.path.join(os.path.dirname(__file__), "..", "scenes",
+                            "gpis-sphere-box.json")
+        with open(path) as f:
+            doc = json.load(f)
+        doc["camera"]["resolution"] = [16, 16]
+        scene, _ = scene_from_dict(doc)
+        img = np.asarray(jax.jit(lambda s: render_pass(scene, s))(
+            jnp.int32(0)))
+        assert np.isfinite(img).all()
+        assert img.max() > 0.0  # something is lit
+        assert img.min() >= 0.0

@@ -1,0 +1,70 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tungsten_tpu.ops import sparse_conv as sc
+from tungsten_tpu.ops import weight_space as ws
+from tungsten_tpu.ops.covariance import SquaredExponentialCov
+from tungsten_tpu.ops.means import HomogeneousMean
+
+
+def make_gp(sigma=1.0, l=0.7):
+    return sc.GP(mean=HomogeneousMean.create(0.0),
+                 cov=SquaredExponentialCov.create(sigma=sigma, l=l))
+
+
+def test_rff_moments_and_autocovariance():
+    """RFF realizations reproduce the kernel: Var[f]=sigma^2,
+    cov(f(0), f(d)) = SE(d) (WeightSpaceGaussianProcess.cpp:120-127)."""
+    gp = make_gp(sigma=1.3, l=0.7)
+    n = 256
+
+    def draw(i):
+        pss = jnp.array([i, 0, 0, 0], jnp.uint32)
+        real = ws.sample_realization(gp.cov, n, pss, 0, False)
+        v0, _ = ws.evaluate(real, gp, jnp.zeros(3))
+        v1, _ = ws.evaluate(real, gp, jnp.array([0.4, 0.0, 0.0]))
+        return v0, v1
+
+    v0, v1 = jax.vmap(draw)(jnp.arange(3000, dtype=jnp.uint32))
+    v0, v1 = np.asarray(v0), np.asarray(v1)
+    assert abs(v0.mean()) < 0.08
+    np.testing.assert_allclose(v0.var(), 1.3**2, rtol=0.12)
+    emp_cov = np.mean(v0 * v1) - v0.mean() * v1.mean()
+    expected = 1.3**2 * np.exp(-0.4**2 / (2 * 0.7**2))
+    np.testing.assert_allclose(emp_cov, expected, rtol=0.15)
+
+
+def test_rff_gradient_matches_fd():
+    gp = make_gp()
+    pss = jnp.array([5, 6, 1, 0], jnp.uint32)
+    real = ws.sample_realization(gp.cov, 128, pss, 0, False)
+    p = jnp.array([0.3, -0.2, 0.5])
+    g = ws.evaluate_gradient(real, gp, p)
+    eps = 1e-3
+    for ax in range(3):
+        dp = jnp.zeros(3).at[ax].set(eps)
+        vp, _ = ws.evaluate(real, gp, p + dp)
+        vm, _ = ws.evaluate(real, gp, p - dp)
+        fd = float((vp - vm) / (2 * eps))
+        np.testing.assert_allclose(fd, float(g[ax]), rtol=2e-2, atol=1e-3)
+
+
+def test_evaluate_many_matches_single():
+    gp = make_gp()
+    pss = jnp.array([1, 2, 3, 0], jnp.uint32)
+    real = ws.sample_realization(gp.cov, 64, pss, 7, False)
+    pts = jnp.array([[0.1, 0.2, 0.3], [0.5, -0.5, 0.0], [1.0, 1.0, 1.0]])
+    vm, _ = ws.evaluate_many(real, gp, pts)
+    vs = jnp.stack([ws.evaluate(real, gp, p)[0] for p in pts])
+    np.testing.assert_allclose(np.asarray(vm), np.asarray(vs), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_global_context_strips_bounce():
+    gp = make_gp()
+    a = ws.realization_key(jnp.array([1, 2, 3, 4], jnp.uint32), 0, True)
+    b = ws.realization_key(jnp.array([1, 2, 3, 9], jnp.uint32), 0, True)
+    c = ws.realization_key(jnp.array([1, 2, 3, 9], jnp.uint32), 0, False)
+    assert int(a) == int(b)
+    assert int(a) != int(c)

@@ -302,6 +302,33 @@ def sample_gradient(med, scene_seed, p, t_seg, rd, state, pss):
 
 
 # ---------------------------------------------------------------------------
+# Classic homogeneous medium (media/HomogeneousMedium.cpp) — gray version
+# ---------------------------------------------------------------------------
+
+def _sample_distance_homogeneous(med, ro, rd, near, far, state, pss,
+                                 u_jitter, active):
+    sig_t = jnp.maximum(jnp.mean(med.sigma_t), 1e-9)
+    sig_s = jnp.mean(med.sigma_s * med.density)
+    t = near - jnp.log1p(-u_jitter * (1.0 - 1e-7)) / sig_t
+    far_eff = jnp.where(far < 1e30, far, near + 2000.0)
+    hit = active & (t < far_eff)
+    t_out = jnp.where(hit, t, far_eff)
+    # distance-sampled weight sigma_s/sigma_t; exited: Tr/pdf = 1
+    weight = jnp.where(hit[:, None],
+                       jnp.full((ro.shape[0], 3), sig_s / sig_t), 1.0)
+    new_state = replace(
+        state,
+        first_scatter=jnp.where(active, False, state.first_scatter),
+        info_t=jnp.where(active, state.info_t + t_out - near, state.info_t),
+        bounce=jnp.where(active, state.bounce + 1, state.bounce))
+    return ({"exited": ~hit, "t": t_out, "weight": weight,
+             "aniso": jnp.zeros_like(ro).at[:, 0].set(1.0),
+             "gp_id": jnp.zeros(ro.shape[0], jnp.int32),
+             "scheme": jnp.zeros(ro.shape[0], jnp.int32),
+             "failed": jnp.zeros(ro.shape[0], bool)}, new_state)
+
+
+# ---------------------------------------------------------------------------
 # Function-space driver (models/fs_medium.py does the per-ray chunked work)
 # ---------------------------------------------------------------------------
 
@@ -384,6 +411,9 @@ def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
     if med.kind == GPIS_FUNCTION_SPACE:
         return _sample_distance_fs(med, scene_seed, ro, rd, near, far_eff,
                                    state, pss, u_jitter, active)
+    if med.kind == MEDIUM_HOMOGENEOUS:
+        return _sample_distance_homogeneous(med, ro, rd, near, far, state,
+                                            pss, u_jitter, active)
 
     state = _precondition(med, scene_seed, ro, rd, near, state, pss, active)
     value_fn = make_value_fn(med, scene_seed)
@@ -457,6 +487,10 @@ def transmittance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
         res, _ = _sample_distance_fs(med, scene_seed, ro, rd, near, far_eff,
                                      state, pss, u_jitter, active)
         return jnp.where(active, jnp.where(res["exited"], 1.0, 0.0), 1.0)
+    if med.kind == MEDIUM_HOMOGENEOUS:
+        # gray exponential transmittance (HomogeneousMedium.cpp)
+        tau = jnp.mean(med.sigma_t) * (far_eff - near)
+        return jnp.where(active, jnp.exp(-tau), 1.0)
     state = _precondition(med, scene_seed, ro, rd, near, state, pss, active)
     value_fn = make_value_fn(med, scene_seed)
     m = march(med, value_fn, ro, rd, near, far_eff, state, pss, u_jitter,
