@@ -28,7 +28,8 @@ def main():
     res = 128
     scene = _small_scene(res=res, max_bounces=2)
 
-    fn = jax.jit(lambda s: render_pass(scene, s))
+    jfn = jax.jit(render_pass)
+    fn = lambda s: jfn(scene, s)
     # compile + warmup
     fn(jnp.int32(0)).block_until_ready()
 

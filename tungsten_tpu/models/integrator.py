@@ -35,6 +35,7 @@ from dataclasses import replace
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import sparse_conv as sc
 from ..utils import rng as trng
@@ -47,7 +48,7 @@ from . import phase as ph
 from . import primitives as pr
 from .camera import Camera
 
-_INF = jnp.float32(3.0e38)
+_INF = np.float32(3.0e38)
 _EPS = 1e-4
 
 

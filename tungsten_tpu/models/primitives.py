@@ -27,7 +27,7 @@ PRIM_SPHERE = 1
 PRIM_CUBE = 2
 PRIM_DISK = 3
 
-_INF = jnp.float32(3.0e38)
+_INF = np.float32(3.0e38)
 
 
 @struct
@@ -136,7 +136,7 @@ def build_soa(prims: list[dict]) -> PrimitiveSoA:
 def _isect_quad(s, ro, rd):
     n_dot_w = dot(rd[None, :], s.n)
     t = dot(s.n, s.p0 - ro[None, :]) / jnp.where(jnp.abs(n_dot_w) < 1e-6,
-                                                 jnp.inf, n_dot_w)
+                                                 jnp.float32(1e30), n_dot_w)
     q = ro[None, :] + t[:, None] * rd[None, :]
     v = q - s.p0
     l0 = dot(v, s.e0) / jnp.maximum(dot(s.e0, s.e0), 1e-20)
@@ -192,7 +192,7 @@ def _isect_cube(s, ro, rd):
 def _isect_disk(s, ro, rd):
     n_dot_w = dot(rd[None, :], s.n)
     t = dot(s.n, s.p0 - ro[None, :]) / jnp.where(jnp.abs(n_dot_w) < 1e-6,
-                                                 jnp.inf, n_dot_w)
+                                                 jnp.float32(1e30), n_dot_w)
     q = ro[None, :] + t[:, None] * rd[None, :]
     v = q - s.p0
     valid = (jnp.abs(n_dot_w) >= 1e-6) & (dot(v, v) <= s.radius**2)

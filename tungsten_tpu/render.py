@@ -41,7 +41,8 @@ def render(scene, spp, spp_start=0, film=None, progress=None, sharded=False):
         mesh = make_render_mesh()
         pass_fn = shard_render_pass(scene, mesh)
     else:
-        pass_fn = jax.jit(lambda s: render_pass(scene, s))
+        jfn = jax.jit(render_pass)
+        pass_fn = lambda s: jfn(scene, s)
 
     for s in range(spp_start, spp_start + spp):
         film = film + pass_fn(jnp.int32(s))

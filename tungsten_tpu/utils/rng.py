@@ -17,21 +17,22 @@ sequential PCG variates); distributional parity is what the tests check.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_P2 = jnp.uint32(2246822519)
-_P3 = jnp.uint32(3266489917)
-_P4 = jnp.uint32(668265263)
-_P5 = jnp.uint32(374761393)
+_P2 = np.uint32(2246822519)
+_P3 = np.uint32(3266489917)
+_P4 = np.uint32(668265263)
+_P5 = np.uint32(374761393)
 
 
 def _rotl17(x):
-    return (x << jnp.uint32(17)) | (x >> jnp.uint32(15))
+    return (x << np.uint32(17)) | (x >> np.uint32(15))
 
 
 def _final(h):
-    h = _P2 * (h ^ (h >> jnp.uint32(15)))
-    h = _P3 * (h ^ (h >> jnp.uint32(13)))
-    return h ^ (h >> jnp.uint32(16))
+    h = _P2 * (h ^ (h >> np.uint32(15)))
+    h = _P3 * (h ^ (h >> np.uint32(13)))
+    return h ^ (h >> np.uint32(16))
 
 
 def _u32(x):
@@ -78,7 +79,7 @@ def u32_to_uniform(u):
     Uses the top 24 bits so the result is exactly representable in float32
     (the reference's BitManip::normalizedUint serves the same purpose).
     """
-    return (u >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    return (u >> np.uint32(8)).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
 
 
 def uniform(key, ctr):
