@@ -1,0 +1,61 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tungsten_tpu.ops import sparse_conv as sc
+from tungsten_tpu.ops import sparse_conv_fast as fast
+from tungsten_tpu.ops.covariance import SquaredExponentialCov
+from tungsten_tpu.ops.means import SphericalMean
+
+
+def setup(iso, aniso=(1.0, 1.0, 1.0), ctxt=sc.CTXT_RENEWAL_PLUS,
+          single=False):
+    gp = sc.GP(mean=SphericalMean.create(radius=0.6),
+               cov=SquaredExponentialCov.create(sigma=0.4, l=0.3,
+                                                aniso=aniso))
+    cfg = sc.SparseConvConfig.create(ctxt=ctxt, isotropic_3d=iso,
+                                     use_single_realization=single)
+    return cfg, gp
+
+
+@pytest.mark.parametrize("iso", [False, True])
+@pytest.mark.parametrize("aniso", [(1.0, 1.0, 1.0), (1.0, 2.0, 0.5)])
+def test_fast_matches_general(iso, aniso):
+    cfg, gp = setup(iso, aniso)
+    R = 16
+    r = np.random.RandomState(3)
+    ro = jnp.asarray(r.randn(R, 3), jnp.float32)
+    rd = jnp.asarray(r.randn(R, 3), jnp.float32)
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    pss = jnp.asarray(r.randint(0, 100, (R, 4)), jnp.uint32)
+    seed = jnp.uint32(17)
+
+    # nonzero conditioning coefficients
+    c3 = sc.Coeffs(value_scale=jnp.asarray(r.randn(R), jnp.float32) * 0.3,
+                   gradient_scale=jnp.asarray(r.randn(R, 3), jnp.float32) * 0.2,
+                   ray_origin=jnp.asarray(r.randn(R, 3), jnp.float32))
+    zero1 = sc.Coeffs(value_scale=jnp.zeros(R),
+                      gradient_scale=jnp.zeros((R, 3)),
+                      ray_origin=jnp.zeros((R, 3)))
+
+    value_at = fast.make_value_at(cfg, gp, c3, ro, rd, pss, seed)
+    t = jnp.asarray(r.rand(R), jnp.float32) * 2.0
+    v_fast, id_fast = value_at(t)
+
+    def one(c3_i, p, rd_i, pss_i):
+        return sc.eval_value(cfg, gp, c3_i,
+                             sc.Coeffs.zero(), p, 0.0, rd_i, pss_i, seed, 0.0)
+
+    p = ro + t[:, None] * rd
+    v_ref, id_ref = jax.vmap(one)(c3, p, rd, pss)
+    np.testing.assert_allclose(np.asarray(v_fast), np.asarray(v_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(id_fast), np.asarray(id_ref))
+
+
+def test_fast_supports_gating():
+    cfg, gp = setup(False)
+    assert fast.supports(cfg, gp)
+    cfg1d = sc.SparseConvConfig.create(one_d=True)
+    assert not fast.supports(cfg1d, gp)

@@ -35,7 +35,7 @@ THIN_SHEET = 9
 SPECULAR_KINDS = (MIRROR, CONDUCTOR, DIELECTRIC)
 
 
-@struct
+@struct(meta=("kinds_static",))
 class BsdfTable:
     kind: jnp.ndarray  # [B] int32
     albedo: jnp.ndarray  # [B,3]
@@ -44,6 +44,7 @@ class BsdfTable:
     eta: jnp.ndarray  # [B,3] conductor
     k: jnp.ndarray  # [B,3] conductor
     enable_refraction: jnp.ndarray  # [B] bool
+    kinds_static: tuple = ()  # python-side mirror of `kind` for static queries
 
 
 def build_table(bsdfs: list[dict]) -> BsdfTable:
@@ -68,7 +69,8 @@ def build_table(bsdfs: list[dict]) -> BsdfTable:
     return BsdfTable(kind=jnp.asarray(kind), albedo=jnp.asarray(albedo),
                      ior=jnp.asarray(ior), roughness=jnp.asarray(rough),
                      eta=jnp.asarray(eta), k=jnp.asarray(kk),
-                     enable_refraction=jnp.asarray(refr))
+                     enable_refraction=jnp.asarray(refr),
+                     kinds_static=tuple(int(k) for k in kind))
 
 
 # ---------------------------------------------------------------------------

@@ -529,3 +529,17 @@ def render_pass(scene: Scene, spp_idx):
                           jnp.arange(H, dtype=jnp.int32))
     c = trace(scene, px.reshape(-1), py.reshape(-1), spp_idx)
     return c.reshape(H, W, 3)
+
+
+def render_rows(scene: Scene, spp_idx, row0, n_rows):
+    """One sample for `n_rows` image rows starting at `row0` (static count).
+
+    The tiled analog of the reference's 16x16 render tiles
+    (PathTraceIntegrator.cpp:26-41): bounds per-dispatch device work so a
+    row-chunk stays within execution watchdogs and pipelines with host
+    accumulation."""
+    W = scene.camera.res_x
+    rows = row0 + jnp.arange(n_rows, dtype=jnp.int32)
+    px, py = jnp.meshgrid(jnp.arange(W, dtype=jnp.int32), rows)
+    c = trace(scene, px.reshape(-1), py.reshape(-1), spp_idx)
+    return c.reshape(n_rows, W, 3)

@@ -171,11 +171,32 @@ def make_value_fn(med, scene_seed):
     return _sc_value_b(med, scene_seed)
 
 
+def make_value_at(med, scene_seed, ro, rd, near, state, pss):
+    """value_at(t[R]) -> (f[R], gp_id[R]) along each ray.
+
+    Sparse-conv 3D uses the lane-efficient SoA evaluator
+    (ops/sparse_conv_fast.py); other representations/configs use the general
+    vmapped path."""
+    if med.kind == GPIS_SPARSE_CONV:
+        from ..ops import sparse_conv_fast as fast
+        if fast.supports(med.cfg, med.gp):
+            return fast.make_value_at(med.cfg, med.gp, state.coeff3, ro, rd,
+                                      pss, scene_seed)
+    vf = make_value_fn(med, scene_seed)
+
+    def value_at(t):
+        p = ro + t[:, None] * rd
+        return vf(state.coeff3, state.coeff1, p, t - near, rd, pss,
+                  state.info_t)
+
+    return value_at
+
+
 # ---------------------------------------------------------------------------
 # The march (SparseConvolutionNoiseMedium::intersectGP, :102-183)
 # ---------------------------------------------------------------------------
 
-def march(med, value_fn, ro, rd, near, far, state, pss, u_jitter, active):
+def march(med, value_at, ro, rd, near, far, state, pss, u_jitter, active):
     """Fixed-step sign-change march over the ray batch.
 
     Returns dict(hit[R] bool, t[R], end_val[R], gp_id[R]).
@@ -184,12 +205,6 @@ def march(med, value_fn, ro, rd, near, far, state, pss, u_jitter, active):
     R = ro.shape[0]
     step = jnp.minimum(med.step_size, (far - near) / med.min_step)
     step = jnp.maximum(step, 1e-6)
-
-    def value_at(t):
-        p = ro + t[:, None] * rd
-        v, gid = value_fn(state.coeff3, state.coeff1, p, t - near, rd, pss,
-                          state.info_t)
-        return v, gid
 
     f0, gid0 = value_at(near)
     sign0 = jnp.where(f0 < 0, -1, 1)
@@ -416,9 +431,9 @@ def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
                                             pss, u_jitter, active)
 
     state = _precondition(med, scene_seed, ro, rd, near, state, pss, active)
-    value_fn = make_value_fn(med, scene_seed)
+    value_at = make_value_at(med, scene_seed, ro, rd, near, state, pss)
     m = jax.lax.stop_gradient(
-        march(med, value_fn, ro, rd, near, far_eff, state, pss, u_jitter,
+        march(med, value_at, ro, rd, near, far_eff, state, pss, u_jitter,
               active))
 
     hit = m["hit"]
@@ -432,8 +447,7 @@ def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
     # root (df/dt = grad . rd).  This mirrors the secant refinement's fixed
     # point (SparseConvolutionNoiseMedium.cpp:143-160) and is the standard
     # differentiable-SDF-rendering estimator (SURVEY.md §7 design stance).
-    f_at_t, _ = value_fn(state.coeff3, state.coeff1, ip, t - near, rd, pss,
-                         state.info_t)
+    f_at_t, _ = value_at(t)
     dfdt = jax.lax.stop_gradient(dot(grad, rd))
     dfdt = jnp.where(jnp.abs(dfdt) < 1e-4, jnp.sign(dfdt) * 1e-4 + 1e-12,
                      dfdt)
@@ -492,7 +506,7 @@ def transmittance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
         tau = jnp.mean(med.sigma_t) * (far_eff - near)
         return jnp.where(active, jnp.exp(-tau), 1.0)
     state = _precondition(med, scene_seed, ro, rd, near, state, pss, active)
-    value_fn = make_value_fn(med, scene_seed)
-    m = march(med, value_fn, ro, rd, near, far_eff, state, pss, u_jitter,
+    value_at = make_value_at(med, scene_seed, ro, rd, near, state, pss)
+    m = march(med, value_at, ro, rd, near, far_eff, state, pss, u_jitter,
               active)
     return jnp.where(active, jnp.where(m["hit"], 0.0, 1.0), 1.0)

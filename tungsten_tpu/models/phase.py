@@ -112,8 +112,8 @@ def sample_phase(med, table, wi, aniso, u):
 
 
 def phase_is_specular(med, table):
+    """Static query (trace-time): BRDF-phase over a pure-specular bsdf
+    (BRDFPhaseFunction::isSpecular, BRDFPhaseFunction.cpp:46-48)."""
     if med.phase_kind == PHASE_BRDF:
-        import numpy as np
-        k = int(np.asarray(table.kind)[med.phase_bsdf])
-        return k in bsdfs.SPECULAR_KINDS
+        return table.kinds_static[med.phase_bsdf] in bsdfs.SPECULAR_KINDS
     return False
