@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 
+
 def main():
     from __graft_entry__ import _small_scene
     from tungsten_tpu.models.integrator import render_rows

@@ -84,9 +84,9 @@ def conductor_fresnel(eta, k, cos_i):
     e2 = eta * eta
     k2 = k * k
     t0 = e2 - k2 - s2
-    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 1e-12))
     t1 = a2b2 + c2
-    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 1e-12))
     t2 = 2.0 * a * cos_i
     rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-12)
     t3 = c2 * a2b2 + s2 * s2
@@ -99,7 +99,7 @@ def dielectric_fresnel(eta_rel, cos_i):
     """Returns (reflectance, cos_t).  eta_rel = eta_i/eta_t."""
     sin_t2 = eta_rel * eta_rel * (1.0 - cos_i * cos_i)
     tir = sin_t2 >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t2, 0.0))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t2, 1e-12))
     rs = (eta_rel * cos_i - cos_t) / jnp.maximum(eta_rel * cos_i + cos_t, 1e-12)
     rp = (eta_rel * cos_t - cos_i) / jnp.maximum(eta_rel * cos_t + cos_i, 1e-12)
     F = 0.5 * (rs * rs + rp * rp)
@@ -110,7 +110,7 @@ def cosine_hemisphere(u1, u2):
     phi = u1 * 2.0 * jnp.pi
     r = jnp.sqrt(u2)
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi),
-                      jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))], axis=-1)
+                      jnp.sqrt(jnp.maximum(1.0 - u2, 1e-12))], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -151,8 +151,8 @@ def eval_bsdf(table, bi, wi, wo):
     denom = jnp.sqrt(jnp.maximum((1 - czi**2) * (1 - czo**2), 1e-12))
     cos_dphi = jnp.clip((wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1])
                         / denom, -1.0, 1.0)
-    sin_alpha = jnp.sqrt(jnp.maximum(1.0 - jnp.minimum(czi, czo) ** 2, 0.0))
-    tan_beta = (jnp.sqrt(jnp.maximum(1.0 - jnp.maximum(czi, czo) ** 2, 0.0))
+    sin_alpha = jnp.sqrt(jnp.maximum(1.0 - jnp.minimum(czi, czo) ** 2, 1e-12))
+    tan_beta = (jnp.sqrt(jnp.maximum(1.0 - jnp.maximum(czi, czo) ** 2, 1e-12))
                 / jnp.maximum(jnp.maximum(czi, czo), 1e-6))
     f_on = (albedo / jnp.pi
             * ((A + Bc * jnp.maximum(cos_dphi, 0.0) * sin_alpha * tan_beta)

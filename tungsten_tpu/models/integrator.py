@@ -151,7 +151,10 @@ def shadow_walk(scene, ro, rd, dist, light_prim, med_idx, med_state, pss,
         pss = jnp.where(adv[:, None], pss.at[:, 3].add(1), pss)
         alive = alive & adv
 
-    return thr
+    # binary visibility is a discrete event: zero gradient a.e.
+    # (detached-sampling estimator; the march inside is a while_loop that
+    # reverse-mode cannot traverse anyway)
+    return jax.lax.stop_gradient(thr)
 
 
 # ---------------------------------------------------------------------------
@@ -279,11 +282,23 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
             pdf2 = jnp.where(in_m, psamp["pdf"], pdf2)
         valid2 = valid2 | (gate & in_m & v_m)
 
+    import os as _os
+    if _os.environ.get("TUNGSTEN_TPU_NANCHECK"):
+        for _nm, _ar in [("o1", o1), ("d2", d2), ("p_vtx", p_vtx),
+                         ("off1", off1), ("d1", d1), ("wo_local", wo_local),
+                         ("normal", normal), ("w2", w2), ("aniso", aniso)]:
+            jax.debug.print(_nm + " nan={n} inf={i}",
+                            n=jnp.isnan(_ar).sum(), i=jnp.isinf(_ar).sum())
+    # the strategy-2 occlusion query and all MIS/pdf weights below are
+    # detached (detached-sampling estimator: sampling densities are not
+    # differentiated; radiance factors f and Le stay differentiable)
     isect2 = jax.vmap(lambda o, w: pr.intersect(scene.prims, o, w, _EPS,
-                                                _INF))(o1, d2)
+                                                _INF))(
+        jax.lax.stop_gradient(o1), jax.lax.stop_gradient(d2))
     hit_light2 = valid2 & isect2["hit"] & (isect2["prim"] == light)
+    t2_safe = jnp.where(hit_light2, isect2["t"], 1.0)
     ld_pdf2 = jax.vmap(lambda l, q, w, th: pr.direct_pdf(
-        scene.prims, l, q, w, th))(light, p_vtx, d2, isect2["t"])
+        scene.prims, l, q, w, th))(light, p_vtx, d2, t2_safe)
 
     # ---------------- one combined shadow walk ----------------------------
     state1 = md._select(is_vol, replace(med_state, last_aniso=aniso_shadow),
@@ -293,21 +308,22 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
     uj = _u(key, bounce, 43)
     tr = shadow_walk(
         scene,
-        _cat(o1, o1), _cat(d1, d2), _cat(ldist, isect2["t"]),
+        _cat(o1, o1), _cat(d1, d2), _cat(jnp.where(valid1, ldist, 1.0),
+                                         t2_safe),
         _cat(light, light), _cat(med_idx, med_idx),
         _cat_tree(state1, state2), _cat(pss_next, pss_next),
         _cat(uj, uj), _cat(valid1, hit_light2))
     tr1, tr2 = tr[:R], tr[R:]
 
     mis1 = jnp.where(disable_mis, 1.0, _power_heuristic(lpdf, mat_pdf1))
+    w_est1 = jax.lax.stop_gradient(tr1 * mis1 / jnp.maximum(lpdf, 1e-9)
+                                   * light_weight)
     contrib1 = jnp.where((valid1 & (tr1 > 0))[:, None],
-                         f1 * light_e * (tr1 * mis1
-                                         / jnp.maximum(lpdf, 1e-9))[:, None]
-                         * light_weight, 0.0)
+                         f1 * light_e * w_est1[:, None], 0.0)
     mis2 = _power_heuristic(pdf2, ld_pdf2)
+    w_est2 = jax.lax.stop_gradient(tr2 * mis2 * light_weight)
     contrib2 = jnp.where((hit_light2 & (tr2 > 0))[:, None],
-                         w2 * light_e * (tr2 * mis2)[:, None] * light_weight,
-                         0.0)
+                         w2 * light_e * w_est2[:, None], 0.0)
     return contrib1 + contrib2
 
 
@@ -366,12 +382,16 @@ def trace(scene: Scene, px, py, spp_idx):
         med_weight = jnp.ones((R, 3), jnp.float32)
         scheme = jnp.zeros(R, jnp.int32)
         failed = jnp.zeros(R, bool)
+        import os as _os
+        dbg_sd = {}
         for mi, medium in enumerate(scene.media):
             in_m = active & (med_idx == mi)
             uj = _u(key, bounce, 4)
             res, med_state_new = md.sample_distance(
                 medium, scene.scene_seed, ro, rd, jnp.zeros(R), far,
                 med_state, pss, uj, in_m)
+            if _os.environ.get("TUNGSTEN_TPU_DEBUG_STASH"):
+                dbg_sd = {k: v for k, v in res.items() if k.startswith("dbg_")}
             med_state = md._select(in_m, med_state_new, med_state)
             vol_event = vol_event | (in_m & ~res["exited"] & ~res["failed"])
             med_t = jnp.where(in_m & ~res["exited"], res["t"], med_t)
@@ -395,9 +415,13 @@ def trace(scene: Scene, px, py, spp_idx):
         pss_next = pss.at[:, 3].add(1)
 
         # ---- event data ---------------------------------------------------
-        vol_p = ro + med_t[:, None] * rd
+        # sanitize t for masked lanes: escaped rays carry t=INF which would
+        # inject inf/NaN into masked arithmetic (and 0 * inf = NaN in
+        # backward passes)
+        med_t_safe = jnp.where(vol_event, med_t, 0.0)
+        vol_p = ro + med_t_safe[:, None] * rd
         hit_prim = isect["prim"]
-        hit_p = ro + isect["t"][:, None] * rd
+        hit_p = ro + jnp.where(did_hit, isect["t"], 0.0)[:, None] * rd
         g_normal = isect["normal"]
         backside = dot(g_normal, rd) > 0.0
         sh_normal = jnp.where(backside[:, None], -g_normal, g_normal)
@@ -512,12 +536,35 @@ def trace(scene: Scene, px, py, spp_idx):
                                 + jnp.sum(rd, axis=-1))
         active = active & ~nan_bad
 
-        return dict(ro=ro, rd=rd, throughput=throughput, emission=emission,
-                    active=active, was_specular=was_specular,
-                    med_idx=med_idx, med_state=med_state, bounce=bounce,
-                    medium_bounces=medium_bounces)
+        out_carry = dict(ro=ro, rd=rd, throughput=throughput,
+                         emission=emission, active=active,
+                         was_specular=was_specular, med_idx=med_idx,
+                         med_state=med_state, bounce=bounce,
+                         medium_bounces=medium_bounces)
+        import os as _os
+        if _os.environ.get("TUNGSTEN_TPU_DEBUG_STASH"):
+            out_carry.update(**dbg_sd)
+            out_carry.update(dbg_wi_local=wi_local, dbg_sh_normal=sh_normal,
+                             dbg_tfr=tfr, dbg_hp=hit_p,
+                             dbg_it=jnp.where(did_hit, isect["t"], 0.0),
+                             dbg_in=isect["normal"],
+                             dbg_ro_in=ro, dbg_rd_in=rd)
+            out_carry.update(dbg_med_t=med_t, dbg_aniso=med_aniso,
+                             dbg_vol_p=vol_p, dbg_hit_p=hit_p,
+                             dbg_wo_world=wo_world, dbg_weight=med_weight,
+                             dbg_s_weight=s["weight"], dbg_psamp_w=new_rd)
+        return out_carry
 
-    out = jax.lax.fori_loop(0, max_iters, bounce_body, carry0)
+    import os
+    if os.environ.get("TUNGSTEN_TPU_UNROLL"):  # debug: python-level bounces
+        n_it = int(os.environ.get("TUNGSTEN_TPU_MAX_ITERS", max_iters))
+        out = carry0
+        for it in range(n_it):
+            out = bounce_body(it, out)
+        if os.environ.get("TUNGSTEN_TPU_RETURN_CARRY"):
+            return out
+    else:
+        out = jax.lax.fori_loop(0, max_iters, bounce_body, carry0)
     emission = jnp.where(jnp.isfinite(out["emission"]), out["emission"], 0.0)
     return emission
 

@@ -99,7 +99,7 @@ class MediumState:
             first_scatter=jnp.ones(n, bool),
             bounce=jnp.zeros(n, jnp.int32),
             last_gp_id=jnp.zeros(n, jnp.int32),
-            last_aniso=jnp.zeros((n, 3), jnp.float32),
+            last_aniso=jnp.zeros((n, 3), jnp.float32).at[:, 0].set(1.0),
             last_val=jnp.zeros(n, jnp.float32),
             info_t=jnp.zeros(n, jnp.float32),
             scheme=jnp.zeros(n, jnp.int32),
@@ -172,13 +172,25 @@ def make_value_fn(med, scene_seed):
     return _sc_value_b(med, scene_seed)
 
 
+def _use_fast_path():
+    """The unrolled SoA evaluator is a TPU-lane optimization; its 81-way
+    unroll slows CPU compiles, so it defaults to accelerators only.
+    Override with TUNGSTEN_TPU_FAST_MARCH=0/1."""
+    import os
+    v = os.environ.get("TUNGSTEN_TPU_FAST_MARCH")
+    if v is not None:
+        return v not in ("0", "false")
+    import jax
+    return jax.default_backend() != "cpu"
+
+
 def make_value_at(med, scene_seed, ro, rd, near, state, pss):
     """value_at(t[R]) -> (f[R], gp_id[R]) along each ray.
 
     Sparse-conv 3D uses the lane-efficient SoA evaluator
     (ops/sparse_conv_fast.py); other representations/configs use the general
     vmapped path."""
-    if med.kind == GPIS_SPARSE_CONV:
+    if med.kind == GPIS_SPARSE_CONV and _use_fast_path():
         from ..ops import sparse_conv_fast as fast
         if fast.supports(med.cfg, med.gp):
             return fast.make_value_at(med.cfg, med.gp, state.coeff3, ro, rd,
@@ -375,6 +387,10 @@ def _sample_distance_fs(med, scene_seed, ro, rd, near, far, state, pss,
     wrong_side = hit & (dot(grad, rd) > 0.0)
     zero_grad = hit & (dot(grad, grad) < 1e-7)
     failed = active & (wrong_side | zero_grad | ~grad_ok)
+    # sanitize for downstream masked math (failed paths are killed anyway,
+    # GaussianProcessMedium.cpp:291-314 returns false)
+    fallback = jnp.zeros_like(grad).at[:, 0].set(1.0)
+    grad = jnp.where((grad_ok & ~zero_grad)[:, None], grad, fallback)
 
     sig_s = med.sigma_s * med.density
     sig_t = jnp.maximum(med.sigma_t, 1e-9)
@@ -458,10 +474,10 @@ def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
     # point (SparseConvolutionNoiseMedium.cpp:143-160) and is the standard
     # differentiable-SDF-rendering estimator (SURVEY.md §7 design stance).
     dfdt = jax.lax.stop_gradient(dot(grad, rd))
-    dfdt = jnp.where(jnp.abs(dfdt) < 1e-4, jnp.sign(dfdt) * 1e-4 + 1e-12,
-                     dfdt)
-    t_diff = t - (f_at_t - jax.lax.stop_gradient(f_at_t)) / dfdt
-    t = jnp.where(hit, t_diff, t)
+    ift_ok = hit & (jnp.abs(dfdt) > 1e-3)  # grazing crossings: detach
+    corr = ((f_at_t - jax.lax.stop_gradient(f_at_t))
+            / jnp.where(ift_ok, dfdt, 1.0))
+    t = t - jnp.where(ift_ok, corr, 0.0)
     ip = ro + t[:, None] * rd
 
     grad_ok = jnp.isfinite(jnp.sum(grad, axis=-1))
@@ -490,8 +506,13 @@ def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
         info_t=jnp.where(active, state.info_t + t - near, state.info_t),
         bounce=jnp.where(active, state.bounce + 1, state.bounce),
     )
+    import os as _os
+    dbg = {}
+    if _os.environ.get("TUNGSTEN_TPU_DEBUG_STASH"):
+        dbg = {"dbg_f_at_t": f_at_t, "dbg_corr": corr,
+               "dbg_t_raw": m["t"], "dbg_grad_raw": grad}
     return ({"exited": ~hit, "t": t, "weight": weight, "aniso": grad,
-             "gp_id": gid_at_t, "scheme": scheme, "failed": failed},
+             "gp_id": gid_at_t, "scheme": scheme, "failed": failed, **dbg},
             new_state)
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..utils.vecmath import (dot, frame_to_local, frame_to_world, normalize,
-                             tangent_frame)
+                             safe_normalize, tangent_frame)
 from . import bsdfs
 
 PHASE_ISOTROPIC = "isotropic"
@@ -26,7 +26,7 @@ INV_FOUR_PI = 1.0 / (4.0 * jnp.pi)
 def _uniform_sphere(u1, u2):
     phi = u1 * 2.0 * jnp.pi
     z = u2 * 2.0 - 1.0
-    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-12))
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
 
@@ -35,7 +35,7 @@ def _hg_sample(g, wi, u1, u2):
     g = jnp.where(jnp.abs(g) < 1e-3, 1e-3, g)
     sq = (1.0 - g * g) / (1.0 - g + 2.0 * g * u2)
     cos_t = (1.0 + g * g - sq * sq) / (2.0 * g)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t**2, 0.0))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t**2, 1e-12))
     local = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t],
                       axis=-1)
     t, b = tangent_frame(wi)
@@ -56,10 +56,10 @@ def eval_phase(med, table, wi, wo, aniso):
         c = dot(wi, wo)
         return _hg_pdf(med.hg_g, c)[..., None] * jnp.ones(3)
     if kind == PHASE_BRDF:
-        n = normalize(aniso)
+        n = safe_normalize(aniso)
         t, b = tangent_frame(n)
-        wil = normalize(frame_to_local(t, b, n, -wi))
-        wol = normalize(frame_to_local(t, b, n, wo))
+        wil = safe_normalize(frame_to_local(t, b, n, -wi))
+        wol = safe_normalize(frame_to_local(t, b, n, wo))
         bi = jnp.asarray(med.phase_bsdf, jnp.int32)
         return bsdfs.eval_bsdf(table, bi, wil, wol)
     raise ValueError(kind)
@@ -72,10 +72,10 @@ def pdf_phase(med, table, wi, wo, aniso):
     if kind == PHASE_HG:
         return _hg_pdf(med.hg_g, dot(wi, wo))
     if kind == PHASE_BRDF:
-        n = normalize(aniso)
+        n = safe_normalize(aniso)
         t, b = tangent_frame(n)
-        wil = normalize(frame_to_local(t, b, n, -wi))
-        wol = normalize(frame_to_local(t, b, n, wo))
+        wil = safe_normalize(frame_to_local(t, b, n, -wi))
+        wol = safe_normalize(frame_to_local(t, b, n, wo))
         bi = jnp.asarray(med.phase_bsdf, jnp.int32)
         return bsdfs.pdf_bsdf(table, bi, wil, wol)
     raise ValueError(kind)
@@ -98,12 +98,12 @@ def sample_phase(med, table, wi, aniso, u):
                 "specular": jnp.zeros(shape, bool),
                 "valid": jnp.ones(shape, bool)}
     if kind == PHASE_BRDF:
-        n = normalize(aniso)
+        n = safe_normalize(aniso)
         t, b = tangent_frame(n)
-        wil = normalize(frame_to_local(t, b, n, -wi))
+        wil = safe_normalize(frame_to_local(t, b, n, -wi))
         bi = jnp.asarray(med.phase_bsdf, jnp.int32)
         s = bsdfs.sample_bsdf(table, bi, wil, jnp.moveaxis(u, -1, 0))
-        w = normalize(frame_to_world(t, b, n, s["wo"]))
+        w = safe_normalize(frame_to_world(t, b, n, s["wo"]))
         # wrong normal side => invalid (handleVolume kills the path,
         # TraceBase.cpp:553-556)
         return {"w": w, "weight": s["weight"], "pdf": s["pdf"],

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.pytree import struct
-from ..utils.vecmath import dot, frame_to_world, length, normalize, tangent_frame
+from ..utils.vecmath import (dot, frame_to_world, length, normalize,
+                             safe_normalize, tangent_frame)
 
 PRIM_QUAD = 0
 PRIM_SPHERE = 1
@@ -151,7 +152,7 @@ def _isect_sphere(s, ro, rd):
     B = dot(p, rd[None, :])
     C = dot(p, p) - s.radius**2
     det_sq = B * B - C
-    det = jnp.sqrt(jnp.maximum(det_sq, 0.0))
+    det = jnp.sqrt(jnp.maximum(det_sq, 1e-12))
     t0, t1 = -B - det, -B + det
     # prefer t0 if positive; else t1 (near/far gating happens in the caller
     # via the eps comparison)
@@ -159,15 +160,20 @@ def _isect_sphere(s, ro, rd):
     t = jnp.where(use0, t0, t1)
     valid = (det_sq >= 0.0) & (t > 1e-4)
     back = ~use0
-    hit_p = ro[None, :] + t[:, None] * rd[None, :]
-    normal = normalize(hit_p - s.p0)
+    t_safe = jnp.where(valid, t, 1.0)  # keep masked lanes NaN-free
+    hit_p = ro[None, :] + t_safe[:, None] * rd[None, :]
+    normal = safe_normalize(hit_p - s.p0)
     return jnp.where(valid, t, _INF), back, normal
 
 
 def _isect_cube(s, ro, rd):
     p = jnp.einsum("pij,pj->pi", s.rot, ro[None, :] - s.p0)
     d = jnp.einsum("pij,pj->pi", s.rot, jnp.broadcast_to(rd, (s.count, 3)))
-    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12 * jnp.sign(d) + 1e-20, d)
+    # clip keeps |dt/dd| bounded for rays near-parallel to a face (the
+    # unclipped 1/d^2 backward overflows f32 and poisons gradients)
+    inv_d = jnp.clip(1.0 / jnp.where(jnp.abs(d) < 1e-7,
+                                     jnp.where(d < 0, -1e-7, 1e-7), d),
+                     -1e7, 1e7)
     rel_min = (-s.scale - p) * inv_d
     rel_max = (s.scale - p) * inv_d
     tmin_ax = jnp.minimum(rel_min, rel_max)
@@ -255,26 +261,29 @@ def sample_direct(soa: PrimitiveSoA, li, p, u1, u2):
     pdf_q = r_sq / (jnp.maximum(cos_q, 1e-6) * jnp.maximum(soa.area[li], 1e-12))
     valid_q = (dot(soa.n[li], p - soa.p0[li]) > 0.0) & (cos_q > 1e-6)
 
-    # sphere: uniform cap
+    # sphere: uniform cap.  For non-sphere lights this branch is masked out
+    # but still computed — use a benign radius so its (co)tangents stay
+    # finite (radius 0 drives the cap pdf singular).
+    is_quad = (kind == PRIM_QUAD) | (kind == PRIM_DISK)
     L = soa.p0[li] - p
     d2 = jnp.maximum(dot(L, L), 1e-12)
     dist_c = jnp.sqrt(d2)
-    C = d2 - soa.radius[li] ** 2
-    cos_theta_max = jnp.sqrt(jnp.maximum(C, 0.0)) / dist_c
+    r_eff = jnp.where(is_quad, 0.5 * dist_c, soa.radius[li])
+    C = d2 - r_eff**2
+    cos_theta_max = jnp.sqrt(jnp.maximum(C, 1e-12)) / dist_c
     Ln = L / dist_c
     phi = u1 * 2.0 * jnp.pi
     z = u2 * (1.0 - cos_theta_max) + cos_theta_max
-    xy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    xy = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-12))
     local = jnp.stack([jnp.cos(phi) * xy, jnp.sin(phi) * xy, z])
     tg, bt = tangent_frame(Ln)
     ds = frame_to_world(tg, bt, Ln, local)
     B = dist_c * z
-    det = jnp.sqrt(jnp.maximum(B * B - C, 0.0))
+    det = jnp.sqrt(jnp.maximum(B * B - C, 1e-12))
     dist_s = B - det
     pdf_s = 1.0 / (2.0 * jnp.pi * jnp.maximum(1.0 - cos_theta_max, 1e-8))
     valid_s = C > 0.0
 
-    is_quad = (kind == PRIM_QUAD) | (kind == PRIM_DISK)
     d = jnp.where(is_quad, dq, ds)
     dist = jnp.where(is_quad, dist_q, dist_s)
     pdf = jnp.where(is_quad, pdf_q, pdf_s)
@@ -289,9 +298,10 @@ def direct_pdf(soa: PrimitiveSoA, li, p, w, t_hit):
     cos_theta = jnp.abs(dot(soa.n[li], w))
     pdf_q = t_hit * t_hit / (jnp.maximum(cos_theta, 1e-6)
                              * jnp.maximum(soa.area[li], 1e-12))
+    is_quad = (kind == PRIM_QUAD) | (kind == PRIM_DISK)
     L = soa.p0[li] - p
     d2 = jnp.maximum(dot(L, L), 1e-12)
-    cos_theta_max = jnp.sqrt(jnp.maximum(d2 - soa.radius[li] ** 2, 0.0) / d2)
+    r_eff = jnp.where(is_quad, 0.5 * jnp.sqrt(d2), soa.radius[li])
+    cos_theta_max = jnp.sqrt(jnp.maximum((d2 - r_eff**2) / d2, 1e-12))
     pdf_s = 1.0 / (2.0 * jnp.pi * jnp.maximum(1.0 - cos_theta_max, 1e-8))
-    is_quad = (kind == PRIM_QUAD) | (kind == PRIM_DISK)
     return jnp.where(is_quad, pdf_q, pdf_s)

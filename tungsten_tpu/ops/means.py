@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.pytree import static_field, struct
-from ..utils.vecmath import dot, length, normalize
+from ..utils.vecmath import dot, length, normalize, safe_normalize
 from . import sdf
 
 
@@ -59,7 +59,7 @@ class SphericalMean:
         return length(p - self.center) - self.radius
 
     def grad(self, p):
-        return normalize(p - self.center)
+        return safe_normalize(p - self.center)
 
     def lipschitz(self):
         return 1.0

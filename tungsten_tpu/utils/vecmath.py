@@ -17,7 +17,8 @@ def dot(a, b):
 
 
 def length(a):
-    return jnp.sqrt(jnp.maximum(dot(a, a), 0.0))
+    # the floor keeps backward finite at |a|=0 (0-cotangent x inf = NaN)
+    return jnp.sqrt(jnp.maximum(dot(a, a), 1e-24))
 
 
 def length_sq(a):
