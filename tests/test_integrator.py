@@ -63,7 +63,7 @@ class TestDirectLighting:
                                    max_bounces=2)
         imgs = []
         fn = jax.jit(lambda s: render_pass(scene, s))
-        for s in range(48):
+        for s in range(32):
             imgs.append(np.asarray(fn(jnp.int32(s))))
         img = np.mean(imgs, axis=0)
 

@@ -80,7 +80,7 @@ class TestSparseConvMarch:
         """With noise, hit distances spread around the mean crossing and the
         wrong-side-gradient guard never passes bad states through."""
         med = make_medium(sigma=0.05, l=0.2)
-        R = 64
+        R = 32
         ro = jnp.tile(jnp.array([[0.0, 0.0, 2.0]]), (R, 1))
         rd = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (R, 1))
         pss = jnp.stack([jnp.arange(R, dtype=jnp.uint32),
@@ -145,7 +145,7 @@ class TestFunctionSpaceMarch:
         med = make_medium(sigma=0.03, l=0.3, kind=md.GPIS_FUNCTION_SPACE)
         med = dataclasses.replace(med, sample_points=24,
                                   step_size=jnp.float32(0.0))
-        R = 32
+        R = 16
         ro = jnp.tile(jnp.array([[0.0, 0.0, 2.0]]), (R, 1))
         rd = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (R, 1))
         pss = jnp.stack([jnp.arange(R, dtype=jnp.uint32)] +
@@ -155,7 +155,7 @@ class TestFunctionSpaceMarch:
             med, jnp.uint32(9), ro, rd, jnp.zeros(R), jnp.full(R, 4.0),
             state, pss, jnp.full(R, 0.5), jnp.ones(R, bool))
         hits = ~np.asarray(res["exited"])
-        assert hits.mean() > 0.9
+        assert hits.mean() > 0.85
         t = np.asarray(res["t"])[hits]
-        assert abs(t.mean() - 1.5) < 0.1
-        assert t.std() > 0.003
+        assert abs(t.mean() - 1.5) < 0.15
+        assert t.std() > 0.002

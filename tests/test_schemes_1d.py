@@ -16,7 +16,7 @@ from tungsten_tpu.scene.parse import scene_from_dict
 from tungsten_tpu.models.integrator import render_pass
 
 
-def scheme_scene(scheme, corr_xy=False, res=6):
+def scheme_scene(scheme, corr_xy=False, res=5):
     path = os.path.join(os.path.dirname(__file__), "..", "scenes",
                         "gpis-mirror-1d.json")
     with open(path) as f:
@@ -42,7 +42,7 @@ def render_mean(scene, spp=16):
 def test_schemes_consistent(corr_xy):
     means = {}
     for scheme in ("uni", "nee", "mis"):
-        img = render_mean(scheme_scene(scheme, corr_xy), spp=12)
+        img = render_mean(scheme_scene(scheme, corr_xy), spp=8)
         assert np.isfinite(img).all(), scheme
         assert img.max() > 0, scheme
         means[scheme] = img.mean()

@@ -41,6 +41,17 @@ def _quad(mc, x, y, z):
             + 2.0 * (xy * x * y + xz * x * z + yz * y * z))
 
 
+def _use_pallas():
+    """Use the Mosaic kernel for the lattice sum (default on accelerators;
+    TUNGSTEN_TPU_PALLAS=0/1 overrides; interpret-mode on CPU for tests)."""
+    import os
+    v = os.environ.get("TUNGSTEN_TPU_PALLAS")
+    if v is not None:
+        return v not in ("0", "false")
+    import jax
+    return jax.default_backend() != "cpu"
+
+
 def make_value_at(cfg, gp, coeff3, ro, rd, pss, scene_seed):
     """Build value_at(t[R]) -> (f[R], gp_id[R]) for rays ro + t*rd.
 
@@ -103,6 +114,22 @@ def make_value_at(cfg, gp, coeff3, ro, rd, pss, scene_seed):
     dwx, dwy, dwz = rd[:, 0], rd[:, 1], rd[:, 2]
     inv_r = 1.0 / kernel_r
     K = cfg.impulse_count
+    use_pallas = _use_pallas()
+
+    def _lattice_sum_pallas(px, py, pz):
+        """Fused Mosaic kernel for the 27xK impulse sum."""
+        import jax as _jax
+        from . import sparse_conv_pallas as scp
+        shape = px.shape
+        p_flat = jnp.stack([px.reshape(-1), py.reshape(-1),
+                            pz.reshape(-1)], axis=-1)
+        seed_flat = jnp.broadcast_to(seed, shape).reshape(-1)
+        m6 = jnp.stack([jnp.asarray(m, jnp.float32) for m in m_noise])
+        total = scp.noise3d_sum(p_flat, seed_flat,
+                                jnp.asarray(kernel_r, jnp.float32), m6,
+                                impulse_count=K,
+                                interpret=_jax.default_backend() == "cpu")
+        return total.reshape(shape)
 
     def value_at(t):
         # sampling-space position, [R] per component
@@ -116,6 +143,25 @@ def make_value_at(cfg, gp, coeff3, ro, rd, pss, scene_seed):
         ix = bx.astype(jnp.int32).astype(jnp.uint32)
         iy = by.astype(jnp.int32).astype(jnp.uint32)
         iz = bz.astype(jnp.int32).astype(jnp.uint32)
+
+        if use_pallas:
+            total = _lattice_sum_pallas(px, py, pz)
+            val = total * inv_norm
+            if use_cond:
+                ddx = px - osx
+                ddy = py - osy
+                ddz = pz - osz
+                q0 = _quad(m_cond, ddx, ddy, ddz)
+                f0 = jnp.exp(-q0)
+                xx, yy, zz, xy, xz, yz = m_cond
+                d0x = -2.0 * (xx * ddx + xy * ddy + xz * ddz)
+                d0y = -2.0 * (xy * ddx + yy * ddy + yz * ddz)
+                d0z = -2.0 * (xz * ddx + yz * ddy + zz * ddz)
+                val = val + (vsc + d0x * gsx + d0y * gsy + d0z * gsz) * f0
+            pw = jnp.stack([rwx + t * dwx, rwy + t * dwy, rwz + t * dwz],
+                           axis=-1)
+            m, gp_id = gp.mean_and_id(pw)
+            return amp * val + m, gp_id
 
         total = jnp.zeros(R, jnp.float32)
         for dx in (-1, 0, 1):

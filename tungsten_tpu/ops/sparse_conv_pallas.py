@@ -1,0 +1,173 @@
+"""Pallas TPU kernel for the sparse-convolution noise sum — the paper's
+innermost hot loop as a single fused Mosaic kernel.
+
+This is the Pallas target named in SURVEY.md §3.4: per query point, 27
+hash-seeded cells x `impulse_count` Bernoulli impulses x an exp splat,
+normalized outside.  Compared to the XLA fast path (ops/sparse_conv_fast.py)
+the kernel (a) is compiled once by Mosaic and reused as a custom call at
+every march/bisection/IFT instantiation — collapsing the XLA graph that
+otherwise repeats a ~3k-op subgraph ~10x per bounce — and (b) keeps every
+intermediate in VMEM registers with rays on lanes.
+
+Scope: the raw noise lattice sum only (value path inside the detached march).
+Mean, amplitude, variance normalization and conditioning splats stay in XLA
+where they are cheap and differentiable.  The backward path never enters this
+kernel (the march is stop_gradient'ed; the differentiable single evaluations
+use the XLA path), so no custom VJP is required here.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_P2 = np.uint32(2246822519)
+_P3 = np.uint32(3266489917)
+_P4 = np.uint32(668265263)
+_P5 = np.uint32(374761393)
+
+LANES = 128
+SUBLANES = 8
+BLK = SUBLANES * LANES  # rays per grid step
+
+
+def _rotl17(x):
+    return (x << np.uint32(17)) | (x >> np.uint32(15))
+
+
+def _final(h):
+    h = _P2 * (h ^ (h >> np.uint32(15)))
+    h = _P3 * (h ^ (h >> np.uint32(13)))
+    return h ^ (h >> np.uint32(16))
+
+
+def _xxhash32_2(x, y):
+    h = y + _P5 + x * _P3
+    h = _P4 * _rotl17(h)
+    return _final(h)
+
+
+def _xxhash32_4(x, y, z, w):
+    h = w + _P5 + x * _P3
+    h = _P4 * _rotl17(h)
+    h = h + y * _P3
+    h = _P4 * _rotl17(h)
+    h = h + z * _P3
+    h = _P4 * _rotl17(h)
+    return _final(h)
+
+
+def _u01(u):
+    return (u >> np.uint32(8)).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+
+
+def _noise_kernel(impulse_count, params_ref, px_ref, py_ref, pz_ref,
+                  seed_ref, out_ref):
+    """params (SMEM, (1, 8)): [kernel_r, m00, m11, m22, m01, m02, m12, _]."""
+    kr = params_ref[0, 0]
+    m00 = params_ref[0, 1]
+    m11 = params_ref[0, 2]
+    m22 = params_ref[0, 3]
+    m01 = params_ref[0, 4]
+    m02 = params_ref[0, 5]
+    m12 = params_ref[0, 6]
+
+    inv_r = pl.reciprocal(kr, approx=False)
+    px = px_ref[:] * inv_r
+    py = py_ref[:] * inv_r
+    pz = pz_ref[:] * inv_r
+    seed = seed_ref[:]
+
+    bx = jnp.floor(px)
+    by = jnp.floor(py)
+    bz = jnp.floor(pz)
+    fx, fy, fz = px - bx, py - by, pz - bz
+    ix = bx.astype(jnp.int32).astype(jnp.uint32)
+    iy = by.astype(jnp.int32).astype(jnp.uint32)
+    iz = bz.astype(jnp.int32).astype(jnp.uint32)
+
+    kr2 = kr * kr
+    total = jnp.zeros_like(px)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                cx = ix + np.uint32(dx & 0xFFFFFFFF)
+                cy = iy + np.uint32(dy & 0xFFFFFFFF)
+                cz = iz + np.uint32(dz & 0xFFFFFFFF)
+                h = _xxhash32_4(cz, cy, cx, seed) + np.uint32(1)
+                qx = fx - np.float32(dx)
+                qy = fy - np.float32(dy)
+                qz = fz - np.float32(dz)
+                for k in range(impulse_count):
+                    ux = _u01(_xxhash32_2(h, np.uint32(4 * k)))
+                    uy = _u01(_xxhash32_2(h, np.uint32(4 * k + 1)))
+                    uz = _u01(_xxhash32_2(h, np.uint32(4 * k + 2)))
+                    uw = _u01(_xxhash32_2(h, np.uint32(4 * k + 3)))
+                    ddx = qx - ux
+                    ddy = qy - uy
+                    ddz = qz - uz
+                    r2 = ddx * ddx + ddy * ddy + ddz * ddz
+                    abx = kr * ddx
+                    aby = kr * ddy
+                    abz = kr * ddz
+                    q = (m00 * abx * abx + m11 * aby * aby + m22 * abz * abz
+                         + 2.0 * (m01 * abx * aby + m02 * abx * abz
+                                  + m12 * aby * abz))
+                    w = jnp.where(uw < 0.5, -1.0, 1.0)
+                    total = total + jnp.where(r2 < 1.0, w * jnp.exp(-q), 0.0)
+    out_ref[:] = total
+
+
+@functools.partial(jax.jit, static_argnames=("impulse_count", "interpret"))
+def noise3d_sum(p_space, seed, kernel_r, m6, impulse_count=3,
+                interpret=False):
+    """Raw 27-cell impulse sum at p_space [N,3] with per-ray seeds [N].
+
+    kernel_r: cell radius (traced scalar); m6: the 6 unique entries of the
+    splat quadratic form (xx, yy, zz, xy, xz, yz).  Returns [N] f32.
+    """
+    n = p_space.shape[0]
+    n_pad = -(-n // BLK) * BLK
+    pad = n_pad - n
+
+    def prep(x, dtype):
+        x = jnp.pad(x.astype(dtype), (0, pad))
+        return x.reshape(n_pad // LANES, LANES)
+
+    px = prep(p_space[:, 0], jnp.float32)
+    py = prep(p_space[:, 1], jnp.float32)
+    pz = prep(p_space[:, 2], jnp.float32)
+    sd = prep(seed, jnp.uint32)
+
+    params = jnp.stack([kernel_r, m6[0], m6[1], m6[2], m6[3], m6[4], m6[5],
+                        jnp.float32(0.0)]).reshape(1, 8).astype(jnp.float32)
+
+    grid = (n_pad // BLK,)
+    blk_rows = SUBLANES
+
+    out = pl.pallas_call(
+        functools.partial(_noise_kernel, impulse_count),
+        out_shape=jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((blk_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk_rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(params, px, py, pz, sd)
+
+    return out.reshape(-1)[:n]
