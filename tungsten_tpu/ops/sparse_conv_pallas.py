@@ -62,7 +62,9 @@ def _xxhash32_4(x, y, z, w):
 
 
 def _u01(u):
-    return (u >> np.uint32(8)).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+    # Mosaic lacks a direct u32->f32 cast; the top-24-bit value fits i32
+    return ((u >> np.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+            * np.float32(1.0 / (1 << 24)))
 
 
 def _noise_kernel(impulse_count, params_ref, px_ref, py_ref, pz_ref,
@@ -76,7 +78,7 @@ def _noise_kernel(impulse_count, params_ref, px_ref, py_ref, pz_ref,
     m02 = params_ref[0, 5]
     m12 = params_ref[0, 6]
 
-    inv_r = pl.reciprocal(kr, approx=False)
+    inv_r = 1.0 / kr
     px = px_ref[:] * inv_r
     py = py_ref[:] * inv_r
     pz = pz_ref[:] * inv_r
