@@ -31,8 +31,10 @@ FORWARD = 6
 ROUGH_CONDUCTOR = 7
 PLASTIC = 8
 THIN_SHEET = 9
+ROUGH_DIELECTRIC = 10
+ROUGH_PLASTIC = 11
 
-SPECULAR_KINDS = (MIRROR, CONDUCTOR, DIELECTRIC)
+SPECULAR_KINDS = (MIRROR, CONDUCTOR, DIELECTRIC, THIN_SHEET)
 
 
 @struct(meta=("kinds_static",))
@@ -44,6 +46,8 @@ class BsdfTable:
     eta: jnp.ndarray  # [B,3] conductor
     k: jnp.ndarray  # [B,3] conductor
     enable_refraction: jnp.ndarray  # [B] bool
+    dist: jnp.ndarray  # [B] ndf.GGX / ndf.BECKMANN for rough kinds
+    albedo_tex: jnp.ndarray  # [B] texture index (-1 = constant albedo)
     kinds_static: tuple = ()  # python-side mirror of `kind` for static queries
 
 
@@ -56,6 +60,8 @@ def build_table(bsdfs: list[dict]) -> BsdfTable:
     eta = np.tile(np.array([0.2, 0.92, 1.1], np.float32), (B, 1))  # Cu-ish
     kk = np.tile(np.array([3.9, 2.45, 2.14], np.float32), (B, 1))
     refr = np.ones(B, bool)
+    dist = np.zeros(B, np.int32)
+    atex = np.full(B, -1, np.int32)
     for i, b in enumerate(bsdfs):
         kind[i] = b["kind"]
         albedo[i] = np.asarray(b.get("albedo", (1.0, 1.0, 1.0)), np.float32)
@@ -66,10 +72,13 @@ def build_table(bsdfs: list[dict]) -> BsdfTable:
         if "k" in b:
             kk[i] = np.asarray(b["k"], np.float32)
         refr[i] = b.get("enable_refraction", True)
+        dist[i] = b.get("distribution", 0)
+        atex[i] = b.get("albedo_tex", -1)
     return BsdfTable(kind=jnp.asarray(kind), albedo=jnp.asarray(albedo),
                      ior=jnp.asarray(ior), roughness=jnp.asarray(rough),
                      eta=jnp.asarray(eta), k=jnp.asarray(kk),
                      enable_refraction=jnp.asarray(refr),
+                     dist=jnp.asarray(dist), albedo_tex=jnp.asarray(atex),
                      kinds_static=tuple(int(k) for k in kind))
 
 
@@ -119,7 +128,14 @@ def cosine_hemisphere(u1, u2):
 
 def is_pure_specular(table, bi):
     k = table.kind[bi]
-    return (k == MIRROR) | (k == CONDUCTOR) | (k == DIELECTRIC)
+    return ((k == MIRROR) | (k == CONDUCTOR) | (k == DIELECTRIC)
+            | (k == THIN_SHEET))
+
+
+def _diffuse_fresnel(ior):
+    """Average diffuse Fresnel reflectance F_dr (Egan & Hilgeman fit, the
+    standard smooth-plastic internal-scattering correction)."""
+    return (-1.440 / (ior * ior) + 0.710 / ior + 0.668 + 0.0636 * ior)
 
 
 def is_forward(table, bi):

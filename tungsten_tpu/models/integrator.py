@@ -31,6 +31,7 @@ Transport-semantics parity notes (each maps to a reference site):
 """
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import replace
 
 import jax
@@ -43,6 +44,7 @@ from ..utils.pytree import static_field, struct
 from ..utils.vecmath import (dot, frame_to_local, frame_to_world, normalize,
                              safe_normalize, tangent_frame)
 from . import bsdfs as bs
+from . import envlight as ev
 from . import media as md
 from . import phase as ph
 from . import primitives as pr
@@ -50,6 +52,8 @@ from .camera import Camera
 
 _INF = np.float32(3.0e38)
 _EPS = 1e-4
+_ENV_DIST = np.float32(1.0e4)  # "infinity" for env shadow rays (marches stay
+                               # bounded: GPIS media end at their boundary)
 
 
 @struct(meta=("max_bounces", "min_bounces", "enable_light_sampling",
@@ -62,6 +66,7 @@ class Scene:
     camera: Camera
     lights: jnp.ndarray  # [L] prim indices
     scene_seed: jnp.ndarray  # u32
+    env: ev.EnvLight = dataclasses.field(default_factory=ev.no_env)
     max_bounces: int = static_field(default=64)
     min_bounces: int = static_field(default=0)
     enable_light_sampling: bool = static_field(default=True)
@@ -168,20 +173,35 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
     in a single [2R] shadow walk.  Returns radiance [R,3]."""
     R = p_vtx.shape[0]
     nl = scene.lights.shape[0]
-    if nl == 0:
+    has_env = scene.env.kind != ev.ENV_NONE and scene.env.sample
+    n_total = nl + (1 if has_env else 0)
+    if n_total == 0:
         return jnp.zeros((R, 3))
 
     ul = _u(key, bounce, 40)
-    li_sel = jnp.minimum((ul * nl).astype(jnp.int32), nl - 1)
-    light = scene.lights[li_sel]
-    light_weight = jnp.float32(nl)
-    light_e = scene.prims.emission[light]
+    li_sel = jnp.minimum((ul * n_total).astype(jnp.int32), n_total - 1)
+    is_env = (li_sel == nl) if has_env else jnp.zeros(R, bool)
+    light = (scene.lights[jnp.minimum(li_sel, nl - 1)] if nl > 0
+             else jnp.full(R, -3, jnp.int32))
+    light = jnp.where(is_env, -3, light)  # -3: matches no prim
+    light_weight = jnp.float32(n_total)
+    light_e = scene.prims.emission[jnp.maximum(light, 0)]
 
     # ---------------- strategy 1: light sampling --------------------------
     u1, u2 = _u(key, bounce, 41), _u(key, bounce, 42)
     d1, ldist, lpdf, lvalid = jax.vmap(
         lambda l, a, b_, q: pr.sample_direct(scene.prims, l, q, a, b_))(
-        light, u1, u2, p_vtx)
+        jnp.maximum(light, 0), u1, u2, p_vtx)
+    if has_env:
+        de, pe, ve = jax.vmap(lambda a, b_: ev.env_sample(scene.env, a, b_))(
+            u1, u2)
+        d1 = jnp.where(is_env[:, None], de, d1)
+        ldist = jnp.where(is_env, _ENV_DIST, ldist)
+        lpdf = jnp.where(is_env, pe, lpdf)
+        lvalid = jnp.where(is_env, ve, lvalid)
+        light_e = jnp.where(is_env[:, None],
+                            jax.vmap(lambda w: ev.env_eval(scene.env, w))(de),
+                            light_e)
 
     # surface eval
     wo_local = jax.vmap(frame_to_local)(tfr, bfr, normal, d1)
@@ -289,16 +309,34 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
                          ("normal", normal), ("w2", w2), ("aniso", aniso)]:
             jax.debug.print(_nm + " nan={n} inf={i}",
                             n=jnp.isnan(_ar).sum(), i=jnp.isinf(_ar).sum())
+    # strategy 2 must offset to ITS sampled direction's side of the surface
+    # (o1 follows d1; reusing it self-occludes when the two straddle)
+    off2 = jnp.where(is_vol[:, None], 0.0,
+                     normal * jnp.sign(s_surf["wo"][:, 2:3]) * _EPS)
+    o2 = p_vtx + off2
     # the strategy-2 occlusion query and all MIS/pdf weights below are
     # detached (detached-sampling estimator: sampling densities are not
     # differentiated; radiance factors f and Le stay differentiable)
     isect2 = jax.vmap(lambda o, w: pr.intersect(scene.prims, o, w, _EPS,
                                                 _INF))(
-        jax.lax.stop_gradient(o1), jax.lax.stop_gradient(d2))
+        jax.lax.stop_gradient(o2), jax.lax.stop_gradient(d2))
     hit_light2 = valid2 & isect2["hit"] & (isect2["prim"] == light)
+    env_hit2 = (valid2 & is_env & ~isect2["hit"]) if has_env \
+        else jnp.zeros(R, bool)
     t2_safe = jnp.where(hit_light2, isect2["t"], 1.0)
-    ld_pdf2 = jax.vmap(lambda l, q, w, th: pr.direct_pdf(
-        scene.prims, l, q, w, th))(light, p_vtx, d2, t2_safe)
+    ld_pdf2 = jax.vmap(lambda l, q, w, th, nh: pr.direct_pdf(
+        scene.prims, l, q, w, th, nh))(jnp.maximum(light, 0), p_vtx, d2,
+                                       t2_safe, isect2["normal"])
+    light_e2 = light_e
+    if has_env:
+        ld_pdf2 = jnp.where(is_env,
+                            jax.vmap(lambda w: ev.env_pdf(scene.env, w))(d2),
+                            ld_pdf2)
+        light_e2 = jnp.where(
+            env_hit2[:, None],
+            jax.vmap(lambda w: ev.env_eval(scene.env, w))(d2), light_e2)
+        t2_safe = jnp.where(env_hit2, _ENV_DIST, t2_safe)
+        hit_light2 = hit_light2 | env_hit2
 
     # ---------------- one combined shadow walk ----------------------------
     state1 = md._select(is_vol, replace(med_state, last_aniso=aniso_shadow),
@@ -308,7 +346,7 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
     uj = _u(key, bounce, 43)
     tr = shadow_walk(
         scene,
-        _cat(o1, o1), _cat(d1, d2), _cat(jnp.where(valid1, ldist, 1.0),
+        _cat(o1, o2), _cat(d1, d2), _cat(jnp.where(valid1, ldist, 1.0),
                                          t2_safe),
         _cat(light, light), _cat(med_idx, med_idx),
         _cat_tree(state1, state2), _cat(pss_next, pss_next),
@@ -323,7 +361,7 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
     mis2 = _power_heuristic(pdf2, ld_pdf2)
     w_est2 = jax.lax.stop_gradient(tr2 * mis2 * light_weight)
     contrib2 = jnp.where((hit_light2 & (tr2 > 0))[:, None],
-                         w2 * light_e * w_est2[:, None], 0.0)
+                         w2 * light_e2 * w_est2[:, None], 0.0)
     return contrib1 + contrib2
 
 
@@ -406,6 +444,17 @@ def trace(scene: Scene, px, py, spp_idx):
         escaped = active & ~vol_event & ~did_hit
         active = active & ~escaped
         surf_event = active & ~vol_event & did_hit
+
+        # infinite lights (TraceBase::handleInfiniteLights): NEE already
+        # carries the material-sampling MIS half, so escaped rays count the
+        # environment only after specular chains
+        if scene.env.kind != ev.ENV_NONE:
+            env_gate = escaped & (bounce >= scene.min_bounces) \
+                & (was_specular | (not scene.enable_light_sampling)
+                   | (not scene.env.sample))
+            env_rad = jax.vmap(lambda w: ev.env_eval(scene.env, w))(rd)
+            emission = emission + jnp.where(env_gate[:, None],
+                                            env_rad * throughput, 0.0)
 
         if not scene.low_order_scattering:
             kill = surf_event & (medium_bounces == 1)

@@ -22,11 +22,14 @@ import numpy as np
 from ..utils.pytree import struct
 from ..utils.vecmath import (dot, frame_to_world, length, normalize,
                              safe_normalize, tangent_frame)
+from .mesh import (MeshSoA, build_mesh_soa, direct_pdf_mesh, empty_mesh,
+                   mesh_intersect, sample_direct_mesh)
 
 PRIM_QUAD = 0
 PRIM_SPHERE = 1
 PRIM_CUBE = 2
 PRIM_DISK = 3
+PRIM_MESH = 4
 
 _INF = np.float32(3.0e38)
 
@@ -56,6 +59,7 @@ class PrimitiveSoA:
     int_medium: jnp.ndarray
     ext_medium: jnp.ndarray
     is_light: jnp.ndarray
+    mesh: MeshSoA
 
     @property
     def count(self):
@@ -80,6 +84,7 @@ def build_soa(prims: list[dict]) -> PrimitiveSoA:
     ext_m = -np.ones(P, np.int32)
     is_light = np.zeros(P, bool)
 
+    meshes = []
     for i, pr in enumerate(prims):
         kind[i] = pr["kind"]
         tf = np.asarray(pr["transform"], np.float32)  # 4x4
@@ -112,6 +117,23 @@ def build_soa(prims: list[dict]) -> PrimitiveSoA:
             r = float(np.linalg.norm(ed0))
             p0[i], n[i], radius[i] = pos, nn / max(a, 1e-20), r
             area[i] = np.pi * r * r
+        elif pr["kind"] == PRIM_MESH:
+            md = dict(pr["mesh"])  # pos/normal/uv/tris (+smooth)
+            lin = tf[:3, :3]
+            mpos = np.asarray(md["pos"], np.float32) @ lin.T + pos[None, :]
+            # normals transform by inverse-transpose
+            nrm = np.asarray(md.get("normal"), np.float32)
+            if nrm is not None and nrm.size:
+                it = np.linalg.inv(lin).T
+                nrm = nrm @ it.T
+            md.update(pos=mpos, normal=nrm, prim=i,
+                      smooth=pr.get("smooth", True))
+            meshes.append(md)
+            tris = np.asarray(md["tris"], np.int64)
+            aa, bb, cc = mpos[tris[:, 0]], mpos[tris[:, 1]], mpos[tris[:, 2]]
+            area[i] = 0.5 * np.linalg.norm(
+                np.cross(bb - aa, cc - aa), axis=-1).sum()
+            p0[i] = 0.5 * (mpos.min(0) + mpos.max(0))
         emission[i] = np.asarray(pr.get("emission", (0.0, 0.0, 0.0)), np.float32)
         bsdf[i] = pr.get("bsdf", 0)
         int_m[i] = pr.get("int_medium", -1)
@@ -127,7 +149,8 @@ def build_soa(prims: list[dict]) -> PrimitiveSoA:
         scale=jnp.asarray(scale), radius=jnp.asarray(radius),
         area=jnp.asarray(area), emission=jnp.asarray(emission),
         bsdf=jnp.asarray(bsdf), int_medium=jnp.asarray(int_m),
-        ext_medium=jnp.asarray(ext_m), is_light=jnp.asarray(is_light))
+        ext_medium=jnp.asarray(ext_m), is_light=jnp.asarray(is_light),
+        mesh=build_mesh_soa(meshes) if meshes else empty_mesh())
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +252,21 @@ def intersect(soa: PrimitiveSoA, ro, rd, near, far):
     t = jnp.where((t > near) & (t < far), t, _INF)
     idx = jnp.argmin(t)
     t_min = t[idx]
+
+    if soa.mesh.has:
+        mh = mesh_intersect(soa.mesh, ro, rd, near, far)
+        m_better = mh["hit"] & (mh["t"] < t_min)
+        hit = (t_min < _INF) | m_better
+        return {
+            "hit": hit,
+            "t": jnp.where(m_better, mh["t"],
+                           jnp.where(t_min < _INF, t_min, far)),
+            "prim": jnp.where(m_better, mh["prim"],
+                              idx.astype(jnp.int32)),
+            "normal": jnp.where(m_better, mh["normal"], nrm[idx]),
+            "back_side": jnp.where(m_better, mh["back_side"], back[idx]),
+        }
+
     hit = t_min < _INF
     return {
         "hit": hit,
@@ -288,12 +326,22 @@ def sample_direct(soa: PrimitiveSoA, li, p, u1, u2):
     dist = jnp.where(is_quad, dist_q, dist_s)
     pdf = jnp.where(is_quad, pdf_q, pdf_s)
     valid = jnp.where(is_quad, valid_q, valid_s)
+
+    if soa.mesh.has:
+        dm, distm, pdfm, vm = sample_direct_mesh(
+            soa.mesh, li, soa.area[li], p, u1, u2)
+        is_mesh = kind == PRIM_MESH
+        d = jnp.where(is_mesh, dm, d)
+        dist = jnp.where(is_mesh, distm, dist)
+        pdf = jnp.where(is_mesh, pdfm, pdf)
+        valid = jnp.where(is_mesh, vm, valid)
     return d, dist, pdf, valid
 
 
-def direct_pdf(soa: PrimitiveSoA, li, p, w, t_hit):
+def direct_pdf(soa: PrimitiveSoA, li, p, w, t_hit, n_hit=None):
     """Solid-angle pdf of hitting light `li` from p along w at distance t_hit
-    (Quad.cpp:216-223, Sphere.cpp directPdf)."""
+    (Quad.cpp:216-223, Sphere.cpp directPdf, TriangleMesh.cpp:477-480).
+    `n_hit` is the geometric normal at the hit (needed for mesh lights)."""
     kind = soa.kind[li]
     cos_theta = jnp.abs(dot(soa.n[li], w))
     pdf_q = t_hit * t_hit / (jnp.maximum(cos_theta, 1e-6)
@@ -304,4 +352,8 @@ def direct_pdf(soa: PrimitiveSoA, li, p, w, t_hit):
     r_eff = jnp.where(is_quad, 0.5 * jnp.sqrt(d2), soa.radius[li])
     cos_theta_max = jnp.sqrt(jnp.maximum((d2 - r_eff**2) / d2, 1e-12))
     pdf_s = 1.0 / (2.0 * jnp.pi * jnp.maximum(1.0 - cos_theta_max, 1e-8))
-    return jnp.where(is_quad, pdf_q, pdf_s)
+    pdf = jnp.where(is_quad, pdf_q, pdf_s)
+    if soa.mesh.has and n_hit is not None:
+        pdf = jnp.where(kind == PRIM_MESH,
+                        direct_pdf_mesh(soa.area[li], n_hit, w, t_hit), pdf)
+    return pdf

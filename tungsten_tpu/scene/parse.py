@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -315,6 +316,45 @@ _PRIM_KINDS = {"quad": pr.PRIM_QUAD, "sphere": pr.PRIM_SPHERE,
                "cube": pr.PRIM_CUBE, "disk": pr.PRIM_DISK}
 
 
+def parse_env(p: dict, base_dir: str):
+    """infinite_sphere / infinite_sphere_cap / skydome -> EnvLight
+    (src/core/primitives/InfiniteSphere.cpp:64-68,
+     InfiniteSphereCap.cpp:44-46, Skydome.cpp:77-81)."""
+    from ..models import envlight as ev
+    t = p["type"]
+    tf = parse_transform(p.get("transform"))
+    rot = np.asarray(tf, np.float32)[:3, :3]
+    # normalize scale out of the rotation
+    s = np.linalg.norm(rot, axis=0)
+    rot = rot / np.maximum(s[None, :], 1e-20)
+    sample = bool(p.get("sample", True))
+    if t == "skydome":
+        # sun at the transform's "up" direction by convention; intensity and
+        # turbidity per Skydome.cpp defaults
+        sun = rot @ np.array([0.0, 1.0, 0.0], np.float32)
+        img = ev.bake_preetham_sky(
+            sun, turbidity=float(p.get("turbidity", 3.0)),
+            intensity=float(p.get("intensity", 2.0)),
+            gamma_scale=float(p.get("gamma_scale", 1.0)))
+        return ev.make_env(ev.ENV_MAP, emission=(1.0, 1.0, 1.0),
+                           rot=np.eye(3, dtype=np.float32), img=img,
+                           sample=sample)
+    em = p.get("emission", (1.0, 1.0, 1.0))
+    if isinstance(em, str):
+        from ..models.textures import load_bitmap
+        img = load_bitmap(os.path.join(base_dir, em))
+        return ev.make_env(ev.ENV_MAP, emission=(1.0, 1.0, 1.0), rot=rot,
+                           img=img, sample=sample)
+    if t == "infinite_sphere_cap":
+        cap_deg = float(p.get("cap_angle", 90.0))
+        cap_dir = rot @ np.array([0.0, 1.0, 0.0], np.float32)
+        return ev.make_env(ev.ENV_CONST, emission=_rgb(em, (1, 1, 1)),
+                           rot=rot, cap_deg=cap_deg, cap_dir=cap_dir,
+                           sample=sample)
+    return ev.make_env(ev.ENV_CONST, emission=_rgb(em, (1, 1, 1)), rot=rot,
+                       sample=sample)
+
+
 def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
     bsdf_list = []
     bsdf_names = {}
@@ -355,18 +395,30 @@ def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
         return len(media) - 1
 
     prims = []
+    env = None
+    base_dir = doc.get("__dir__", ".")
     for p in doc.get("primitives", []):
         t = p.get("type", "quad")
-        if t not in _PRIM_KINDS:
-            raise ValueError(f"primitive type {t!r} not supported yet")
-        prims.append({
-            "kind": _PRIM_KINDS[t],
+        if t in ("infinite_sphere", "infinite_sphere_cap", "skydome"):
+            env = parse_env(p, base_dir)
+            continue
+        entry = {
             "transform": parse_transform(p.get("transform")),
             "emission": _rgb(p.get("emission"), (0, 0, 0)),
             "bsdf": bsdf_index(p.get("bsdf", 0)),
             "int_medium": medium_index(p.get("int_medium")),
             "ext_medium": medium_index(p.get("ext_medium")),
-        })
+        }
+        if t == "mesh":
+            from ..io.meshio import load_mesh
+            entry["kind"] = pr.PRIM_MESH
+            entry["mesh"] = load_mesh(os.path.join(base_dir, p["file"]))
+            entry["smooth"] = bool(p.get("smooth", True))
+        elif t in _PRIM_KINDS:
+            entry["kind"] = _PRIM_KINDS[t]
+        else:
+            raise ValueError(f"primitive type {t!r} not supported yet")
+        prims.append(entry)
 
     cam_doc = doc.get("camera", {})
     res = cam_doc.get("resolution", [512, 512])
@@ -385,6 +437,7 @@ def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
 
     rdoc = doc.get("renderer", {})
     integ = doc.get("integrator", {})
+    from ..models import envlight as ev
     return Scene(
         prims=soa,
         bsdfs=bs.build_table(bsdf_list),
@@ -392,6 +445,7 @@ def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
         camera=camera,
         lights=jnp.asarray(lights),
         scene_seed=jnp.uint32(seed),
+        env=env if env is not None else ev.no_env(),
         max_bounces=int(integ.get("max_bounces", 64)),
         min_bounces=int(integ.get("min_bounces", 0)),
         enable_light_sampling=bool(integ.get("enable_light_sampling", True)),
@@ -406,4 +460,5 @@ def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
 def load_scene(path, seed=0xBA5EBA11):
     with open(path) as f:
         doc = json.load(f)
+    doc.setdefault("__dir__", os.path.dirname(os.path.abspath(path)))
     return scene_from_dict(doc, seed=seed)
