@@ -20,6 +20,7 @@ import numpy as np
 
 from ..utils.pytree import struct
 from ..utils.vecmath import dot, normalize
+from . import ndf as nd
 
 NULL = 0
 LAMBERT = 1
@@ -174,19 +175,113 @@ def eval_bsdf(table, bi, wi, wo):
             * ((A + Bc * jnp.maximum(cos_dphi, 0.0) * sin_alpha * tan_beta)
                * jnp.maximum(czo, 0.0))[..., None])
 
+    # ---- microfacet lobes (RoughConductor/RoughPlastic/RoughDielectric,
+    # NDFs from models/ndf.py replacing facet-forge) -----------------------
+    alpha = jnp.maximum(table.roughness[bi], 1e-3)
+    dist = table.dist[bi]
+    m = wi + wo
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    m = m * jnp.sign(m[..., 2:3])  # upper hemisphere
+    wi_dot_m = jnp.sum(wi * m, axis=-1)
+    D = nd.d_ndf(dist, m, alpha)
+    G = nd.g2(dist, wi, wo, m, alpha)
+    denom_r = 4.0 * jnp.maximum(jnp.abs(czi), 1e-6)
+
+    F_cond = conductor_fresnel(table.eta[bi], table.k[bi],
+                               jnp.abs(wi_dot_m)[..., None])
+    f_rc = albedo * F_cond * (D * G / denom_r)[..., None]
+
+    ior = table.ior[bi]
+    F_im, _ = dielectric_fresnel(1.0 / ior, jnp.abs(wi_dot_m))
+    f_rp_spec = (F_im * D * G / denom_r)[..., None]
+    # plastic diffuse base with internal-scattering compensation
+    F_i, _ = dielectric_fresnel(1.0 / ior, jnp.maximum(czi, 0.0))
+    F_o, _ = dielectric_fresnel(1.0 / ior, jnp.maximum(czo, 0.0))
+    F_dr = _diffuse_fresnel(ior)
+    f_pl_diff = (albedo / jnp.pi * jnp.maximum(czo, 0.0)[..., None]
+                 * ((1.0 - F_i) * (1.0 - F_o))[..., None]
+                 / jnp.maximum(1.0 - albedo * F_dr, 1e-3))
+    f_rp = f_rp_spec + f_pl_diff
+
+    # rough dielectric: reflection (same side) or refraction (opposite)
+    eta_rel = jnp.where(czi < 0.0, ior, 1.0 / ior)
+    opp_side = (czi > 0) != (czo > 0)
+    # transmission half-vector (Walter 2007 eq. 16); eta_i/eta_o relative
+    ht = -(eta_rel[..., None] * wi + wo)
+    ht = ht / jnp.maximum(jnp.linalg.norm(ht, axis=-1, keepdims=True), 1e-12)
+    ht = ht * jnp.sign(ht[..., 2:3])
+    i_dot_ht = jnp.sum(wi * ht, axis=-1)
+    o_dot_ht = jnp.sum(wo * ht, axis=-1)
+    F_t, _ = dielectric_fresnel(eta_rel, jnp.abs(i_dot_ht))
+    Dt = nd.d_ndf(dist, ht, alpha)
+    Gt = nd.g2(dist, wi, wo, ht, alpha)
+    denom_t = (eta_rel * i_dot_ht + o_dot_ht) ** 2
+    F_r, _ = dielectric_fresnel(eta_rel, jnp.abs(wi_dot_m))
+    f_rd_refl = albedo * (F_r * D * G / denom_r)[..., None]
+    f_rd_trans = albedo * (jnp.abs(i_dot_ht) * jnp.abs(o_dot_ht)
+                           * (1.0 - F_t) * Dt * Gt
+                           / jnp.maximum(jnp.abs(czi) * denom_t,
+                                         1e-9))[..., None]
+    f_rd = jnp.where(opp_side[..., None], f_rd_trans, f_rd_refl)
+
     f = jnp.select([jnp.broadcast_to(k == LAMBERT, f_lam.shape),
-                    jnp.broadcast_to(k == OREN_NAYAR, f_lam.shape)],
-                   [f_lam, f_on], 0.0)
-    return jnp.where(same_side[..., None], f, 0.0)
+                    jnp.broadcast_to(k == OREN_NAYAR, f_lam.shape),
+                    jnp.broadcast_to(k == ROUGH_CONDUCTOR, f_lam.shape),
+                    jnp.broadcast_to(k == PLASTIC, f_lam.shape),
+                    jnp.broadcast_to(k == ROUGH_PLASTIC, f_lam.shape),
+                    jnp.broadcast_to(k == ROUGH_DIELECTRIC, f_lam.shape)],
+                   [f_lam, f_on, f_rc, f_pl_diff, f_rp, f_rd], 0.0)
+    two_sided = k == ROUGH_DIELECTRIC
+    return jnp.where((same_side | two_sided)[..., None], f, 0.0)
 
 
 def pdf_bsdf(table, bi, wi, wo):
-    """pdf of sample() for non-Dirac lobes (cosine hemisphere)."""
+    """pdf of sample() for non-Dirac lobes."""
     k = table.kind[bi]
-    czo = jnp.maximum(wo[..., 2], 0.0)
-    p_cos = czo / jnp.pi
+    czi, czo = wi[..., 2], wo[..., 2]
+    p_cos = jnp.maximum(czo, 0.0) / jnp.pi
     diffuse = (k == LAMBERT) | (k == OREN_NAYAR)
-    return jnp.where(diffuse & (wi[..., 2] > 0), p_cos, 0.0)
+    pdf = jnp.where(diffuse & (czi > 0), p_cos, 0.0)
+
+    alpha = jnp.maximum(table.roughness[bi], 1e-3)
+    dist = table.dist[bi]
+    m = wi + wo
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    m = m * jnp.sign(m[..., 2:3])
+    wi_dot_m = jnp.sum(wi * m, axis=-1)
+    p_spec = nd.pdf_m(dist, wi, m, alpha) / jnp.maximum(
+        4.0 * jnp.abs(wi_dot_m), 1e-9)
+    pdf = jnp.where((k == ROUGH_CONDUCTOR) & (czi > 0) & (czo > 0),
+                    p_spec, pdf)
+
+    ior = table.ior[bi]
+    F_i, _ = dielectric_fresnel(1.0 / ior, jnp.maximum(czi, 0.0))
+    pdf = jnp.where((k == PLASTIC) & (czi > 0) & (czo > 0),
+                    (1.0 - F_i) * p_cos, pdf)
+    pdf = jnp.where((k == ROUGH_PLASTIC) & (czi > 0) & (czo > 0),
+                    F_i * p_spec + (1.0 - F_i) * p_cos, pdf)
+
+    # rough dielectric: Fresnel-weighted reflect/refract jacobians
+    eta_rel = jnp.where(czi < 0.0, ior, 1.0 / ior)
+    opp = (czi > 0) != (czo > 0)
+    ht = -(eta_rel[..., None] * wi + wo)
+    ht = ht / jnp.maximum(jnp.linalg.norm(ht, axis=-1, keepdims=True), 1e-12)
+    ht = ht * jnp.sign(ht[..., 2:3])
+    i_dot_ht = jnp.sum(wi * ht, axis=-1)
+    o_dot_ht = jnp.sum(wo * ht, axis=-1)
+    F_m, _ = dielectric_fresnel(eta_rel, jnp.abs(wi_dot_m))
+    F_ht, _ = dielectric_fresnel(eta_rel, jnp.abs(i_dot_ht))
+    wi_up = jnp.stack([wi[..., 0], wi[..., 1], jnp.abs(czi)], axis=-1)
+    m_up = jnp.stack([m[..., 0], m[..., 1], jnp.abs(m[..., 2])], axis=-1)
+    ht_up = jnp.stack([ht[..., 0], ht[..., 1], jnp.abs(ht[..., 2])], axis=-1)
+    p_refl = (F_m * nd.pdf_m(dist, wi_up, m_up, alpha)
+              / jnp.maximum(4.0 * jnp.abs(wi_dot_m), 1e-9))
+    jac_t = jnp.abs(o_dot_ht) / jnp.maximum(
+        (eta_rel * i_dot_ht + o_dot_ht) ** 2, 1e-9)
+    p_trans = (1.0 - F_ht) * nd.pdf_m(dist, wi_up, ht_up, alpha) * jac_t
+    pdf = jnp.where(k == ROUGH_DIELECTRIC,
+                    jnp.where(opp, p_trans, p_refl), pdf)
+    return pdf
 
 
 def sample_bsdf(table, bi, wi, u):
@@ -228,20 +323,122 @@ def sample_bsdf(table, bi, wi, u):
     wo_f = -wi
     w_f = jnp.ones(3)
 
+    # ---- microfacet lobes -------------------------------------------------
+    alpha = jnp.maximum(table.roughness[bi], 1e-3)
+    dist = table.dist[bi]
+    sgn = jnp.sign(jnp.where(czi == 0, 1.0, czi))
+    wi_up = jnp.stack([wi[..., 0], wi[..., 1], jnp.abs(czi)], axis=-1)
+    m_g = nd.sample_vndf_ggx(wi_up, alpha, u[2], u[3])
+    m_b = nd.sample_vndf_beckmann(wi_up, alpha, u[2], u[3])
+    m_up = jnp.where(dist == nd.GGX, m_g, m_b)
+    i_dot_m = jnp.sum(wi_up * m_up, axis=-1)
+    pdf_m_up = nd.pdf_m(dist, wi_up, m_up, alpha)
+    # energy weight of m-sampling: f_r*cos/pdf with F=1 (Fresnel applied
+    # by each lobe).  GGX VNDF: G2/G1; Beckmann D-sampling: Walter weight.
+    wo_r_up = nd.reflect(wi_up, m_up)
+    G2r = nd.g2(dist, wi_up, wo_r_up, m_up, alpha)
+    G1r = jnp.maximum(nd.g1(dist, wi_up, m_up, alpha), 1e-6)
+    w_vndf = G2r / G1r
+    w_walter = (jnp.abs(i_dot_m) * G2r
+                / jnp.maximum(jnp.abs(czi) * jnp.abs(m_up[..., 2]), 1e-6))
+    w_micro = jnp.where(dist == nd.GGX, w_vndf, w_walter)
+    wo_rc = jnp.stack([wo_r_up[..., 0], wo_r_up[..., 1],
+                       wo_r_up[..., 2] * sgn], axis=-1)
+    pdf_rc = pdf_m_up / jnp.maximum(4.0 * jnp.abs(i_dot_m), 1e-9)
+    rc_ok = wo_r_up[..., 2] > 1e-5
+
+    F_mc = conductor_fresnel(table.eta[bi], table.k[bi],
+                             jnp.abs(i_dot_m)[..., None])
+    w_rc = albedo * F_mc * w_micro[..., None]
+
+    # plastic (smooth): Fresnel-weighted dirac spec + diffuse
+    # (PlasticBsdf: substrate with internal-scattering compensation)
+    ior = table.ior[bi]
+    F_i, _ = dielectric_fresnel(1.0 / ior, jnp.abs(czi))
+    F_dr = _diffuse_fresnel(ior)
+    spec_choice = u[2] < F_i
+    czo_d = jnp.maximum(wo_d[..., 2], 0.0)
+    F_od, _ = dielectric_fresnel(1.0 / ior, czo_d)
+    w_pl_diff = (albedo * (1.0 - F_od)[..., None]
+                 / jnp.maximum(1.0 - albedo * F_dr, 1e-3))
+    wo_pl = jnp.where(spec_choice[..., None], wo_m, wo_d)
+    w_pl = jnp.where(spec_choice[..., None], jnp.ones(3), w_pl_diff)
+    pdf_pl = jnp.where(spec_choice, 1.0, (1.0 - F_i) * pdf_d)
+
+    # rough plastic: microfacet spec (chosen with prob F_i) + diffuse.
+    # The two lobes OVERLAP in direction space, so the estimator weight is
+    # f(wi,wo)/pdf_mixture(wi,wo) — conditional cancellation would be wrong.
+    wo_rp = jnp.where(spec_choice[..., None], wo_rc, wo_d)
+    f_rp_at = eval_bsdf(table, bi, wi, wo_rp)
+    pdf_rp = pdf_bsdf(table, bi, wi, wo_rp)
+    w_rp = f_rp_at / jnp.maximum(pdf_rp, 1e-9)[..., None]
+    rp_ok = (jnp.where(spec_choice, rc_ok, czi != 0)
+             & (pdf_rp > 1e-9) & (wo_rp[..., 2] > 0))
+
+    # rough dielectric (Walter 2007): reflect/refract through sampled m
+    eta_rel2 = jnp.where(czi < 0.0, ior, 1.0 / ior)
+    F_rm, cos_tm = dielectric_fresnel(eta_rel2, jnp.abs(i_dot_m))
+    refl_rd = (u[2] < F_rm) | ~table.enable_refraction[bi]
+    wo_rd_refr_up = (eta_rel2[..., None] * (-wi_up)
+                     + (eta_rel2 * jnp.abs(i_dot_m) - cos_tm)[..., None]
+                     * m_up)
+    wo_rd_up = jnp.where(refl_rd[..., None], wo_r_up, wo_rd_refr_up)
+    # undo the wi mirroring (z *= sgn) — the transmitted up-frame z is
+    # already negative, so the same flip restores the true frame
+    wo_rd = jnp.stack(
+        [wo_rd_up[..., 0], wo_rd_up[..., 1],
+         wo_rd_up[..., 2] * sgn], axis=-1)
+    G2t = nd.g2(dist, wi_up, wo_rd_refr_up, m_up, alpha)
+    w_micro_t = jnp.where(
+        dist == nd.GGX, G2t / G1r,
+        jnp.abs(i_dot_m) * G2t / jnp.maximum(
+            jnp.abs(czi) * jnp.abs(m_up[..., 2]), 1e-6))
+    w_rd = albedo * jnp.where(refl_rd, w_micro, w_micro_t)[..., None]
+    o_dot_m_t = jnp.abs(jnp.sum(wo_rd_refr_up * m_up, axis=-1))
+    pdf_rd = jnp.where(
+        refl_rd, F_rm * pdf_rc,
+        (1.0 - F_rm) * pdf_m_up * o_dot_m_t
+        / jnp.maximum((eta_rel2 * jnp.abs(i_dot_m) - o_dot_m_t) ** 2, 1e-9))
+    rd_ok = jnp.where(refl_rd, rc_ok,
+                      (cos_tm > 0) & (wo_rd_refr_up[..., 2] < -1e-5))
+
+    # thin sheet (ThinSheetBsdf): total multi-bounce reflectance 2R/(1+R)
+    F_ts, _ = dielectric_fresnel(1.0 / ior, jnp.abs(czi))
+    R_tot = 2.0 * F_ts / (1.0 + F_ts)
+    ts_refl = u[2] < R_tot
+    wo_ts = jnp.where(ts_refl[..., None], wo_m, wo_f)
+    w_ts = jnp.ones(3)
+
     wo = jnp.select([
         (k == LAMBERT)[..., None] | (k == OREN_NAYAR)[..., None],
         (k == MIRROR)[..., None], (k == CONDUCTOR)[..., None],
-        (k == DIELECTRIC)[..., None], (k == FORWARD)[..., None]],
-        [wo_d, wo_m, wo_c := wo_m, wo_di, wo_f], wo_d)
+        (k == DIELECTRIC)[..., None], (k == FORWARD)[..., None],
+        (k == ROUGH_CONDUCTOR)[..., None], (k == PLASTIC)[..., None],
+        (k == ROUGH_PLASTIC)[..., None],
+        (k == ROUGH_DIELECTRIC)[..., None], (k == THIN_SHEET)[..., None]],
+        [wo_d, wo_m, wo_c := wo_m, wo_di, wo_f,
+         wo_rc, wo_pl, wo_rp, wo_rd, wo_ts], wo_d)
     weight = jnp.select([
         (k == LAMBERT)[..., None], (k == OREN_NAYAR)[..., None],
         (k == MIRROR)[..., None], (k == CONDUCTOR)[..., None],
-        (k == DIELECTRIC)[..., None], (k == FORWARD)[..., None]],
-        [w_lam, w_on, w_m, w_c, w_di, w_f], jnp.zeros(3))
-    pdf = jnp.select([k == LAMBERT, k == OREN_NAYAR], [pdf_d, pdf_d], 1.0)
-    specular = (k == MIRROR) | (k == CONDUCTOR) | (k == DIELECTRIC) | (k == FORWARD)
+        (k == DIELECTRIC)[..., None], (k == FORWARD)[..., None],
+        (k == ROUGH_CONDUCTOR)[..., None], (k == PLASTIC)[..., None],
+        (k == ROUGH_PLASTIC)[..., None],
+        (k == ROUGH_DIELECTRIC)[..., None], (k == THIN_SHEET)[..., None]],
+        [w_lam, w_on, w_m, w_c, w_di, w_f,
+         w_rc, w_pl, w_rp, w_rd, w_ts], jnp.zeros(3))
+    pdf = jnp.select([k == LAMBERT, k == OREN_NAYAR, k == ROUGH_CONDUCTOR,
+                      k == PLASTIC, k == ROUGH_PLASTIC,
+                      k == ROUGH_DIELECTRIC],
+                     [pdf_d, pdf_d, pdf_rc, pdf_pl, pdf_rp, pdf_rd], 1.0)
+    specular = ((k == MIRROR) | (k == CONDUCTOR) | (k == DIELECTRIC)
+                | (k == FORWARD) | (k == THIN_SHEET)
+                | ((k == PLASTIC) & spec_choice))
     diffuse_ok = czi > 0
-    valid = jnp.where((k == LAMBERT) | (k == OREN_NAYAR), diffuse_ok,
-                      k != NULL)
+    valid = jnp.select(
+        [(k == LAMBERT) | (k == OREN_NAYAR) | (k == PLASTIC),
+         k == ROUGH_CONDUCTOR, k == ROUGH_PLASTIC, k == ROUGH_DIELECTRIC],
+        [diffuse_ok, rc_ok & diffuse_ok, rp_ok & diffuse_ok, rd_ok],
+        k != NULL)
     return {"wo": wo, "weight": weight, "pdf": pdf, "specular": specular,
             "valid": valid}

@@ -322,6 +322,35 @@ def sample_gradient(med, scene_seed, p, t_seg, rd, state, pss):
      WeightSpaceGaussianProcessMedium.cpp:64-157)."""
     cfg, gp = med.cfg, med.gp
 
+    if med.normal_method in (NORMAL_BECKMANN, NORMAL_GGX):
+        # NDF shortcut (FunctionSpaceGaussianProcessMedium.cpp:305-342):
+        # normal ~ visible-normal distribution around the mean gradient with
+        # alpha = compute_beckmann_roughness(p)
+        from ..utils.vecmath import (frame_to_local, frame_to_world,
+                                     safe_normalize, tangent_frame)
+        from . import ndf as nd
+        dist = nd.BECKMANN if med.normal_method == NORMAL_BECKMANN else nd.GGX
+
+        def one(p_i, rd_i, pss_i, gid_i):
+            n_mean = safe_normalize(gp.mean_grad_by_id(p_i, gid_i))
+            t, b = tangent_frame(n_mean)
+            wi_l = frame_to_local(t, b, n_mean, -rd_i)
+            wi_l = jnp.stack([wi_l[0], wi_l[1],
+                              jnp.maximum(jnp.abs(wi_l[2]), 1e-4)])
+            alpha = jnp.minimum(gp.cov.compute_beckmann_roughness(p_i), 10.0)
+            key = trng.xxhash32_4(pss_i[0], pss_i[1], pss_i[2],
+                                  pss_i[3] ^ jnp.uint32(0x9D2C5680))
+            key = key ^ jnp.uint32(scene_seed)
+            u1 = trng.uniform(key, jnp.uint32(0))
+            u2 = trng.uniform(key, jnp.uint32(1))
+            if dist == nd.GGX:
+                m = nd.sample_vndf_ggx(wi_l, alpha, u1, u2)
+            else:
+                m = nd.sample_vndf_beckmann(wi_l, alpha, u1, u2)
+            return frame_to_world(t, b, n_mean, m)
+
+        return jax.vmap(one)(p, rd, pss, state.last_gp_id)
+
     if med.kind == GPIS_WEIGHT_SPACE:
         def one(p_i, pss_i):
             real = _ws_real(med, pss_i, scene_seed)

@@ -135,16 +135,18 @@ _BSDF_KINDS = {
     "lambert": bs.LAMBERT,
     "mirror": bs.MIRROR,
     "conductor": bs.CONDUCTOR,
-    "rough_conductor": bs.CONDUCTOR,  # smooth fallback until microfacet lands
+    "rough_conductor": bs.ROUGH_CONDUCTOR,
     "oren_nayar": bs.OREN_NAYAR,
     "dielectric": bs.DIELECTRIC,
-    "rough_dielectric": bs.DIELECTRIC,
+    "rough_dielectric": bs.ROUGH_DIELECTRIC,
     "forward": bs.FORWARD,
     "transparency": bs.FORWARD,
-    "plastic": bs.LAMBERT,
-    "rough_plastic": bs.LAMBERT,
-    "thinsheet": bs.FORWARD,
+    "plastic": bs.PLASTIC,
+    "rough_plastic": bs.ROUGH_PLASTIC,
+    "thinsheet": bs.THIN_SHEET,
 }
+
+_NDF_DISTS = {"ggx": 0, "beckmann": 1, "phong": 1}
 
 # conductor presets (bsdfs/ComplexIorData.hpp) — spectral (eta, k) at RGB
 _CONDUCTORS = {
@@ -171,6 +173,8 @@ def parse_bsdf(b: dict) -> dict:
         out["k"] = b["k"]
     if "enable_refraction" in b:
         out["enable_refraction"] = bool(b["enable_refraction"])
+    if "distribution" in b:
+        out["distribution"] = _NDF_DISTS.get(str(b["distribution"]), 0)
     return out
 
 
