@@ -17,12 +17,28 @@ def tonemap_gamma(img, exposure=1.0, gamma=2.2):
     return np.clip(x ** (1.0 / gamma), 0.0, 1.0)
 
 
-def write_png(path, img, tonemap=True):
+def tonemap_reinhard(img, exposure=1.0, gamma=2.2):
+    x = np.clip(np.asarray(img, np.float64) * exposure, 0.0, None)
+    return np.clip((x / (1.0 + x)) ** (1.0 / gamma), 0.0, 1.0)
+
+
+def tonemap_filmic(img, exposure=1.0):
+    """Hejl-Burgess-Dawson filmic curve (the reference Tonemap::Filmic)."""
+    x = np.maximum(np.asarray(img, np.float64) * exposure - 0.004, 0.0)
+    return np.clip((x * (6.2 * x + 0.5)) / (x * (6.2 * x + 1.7) + 0.06),
+                   0.0, 1.0)
+
+
+_CURVES = {"linear": lambda x: np.clip(x, 0, 1), "gamma": tonemap_gamma,
+           "reinhard": tonemap_reinhard, "filmic": tonemap_filmic}
+
+
+def write_png(path, img, tonemap=True, curve="gamma"):
     """img: [H,W,3] float (linear) or uint8."""
     a = np.asarray(img)
     if a.dtype != np.uint8:
         if tonemap:
-            a = tonemap_gamma(a)
+            a = _CURVES.get(curve, tonemap_gamma)(a)
         a = (np.clip(a, 0, 1) * 255.0 + 0.5).astype(np.uint8)
     h, w = a.shape[:2]
     if a.ndim == 2:

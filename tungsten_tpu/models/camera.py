@@ -1,8 +1,13 @@
-"""Cameras: pinhole + thinlens (src/core/cameras/{Pinhole,Thinlens}Camera.cpp).
+"""Cameras: pinhole / thinlens / equirectangular / cubemap
+(src/core/cameras/{Pinhole,Thinlens,Equirectangular,Cubemap}Camera.cpp)
+with box/tent/gaussian reconstruction filters (cameras/ReconstructionFilter).
 
 A camera generates one ray per (pixel, sample); the film is a plain [H,W,3]
 accumulation (one sample per pixel per pass — no atomics needed, unlike the
-reference's CAS framebuffer, cameras/AtomicFramebuffer.hpp:26-31).
+reference's CAS framebuffer, cameras/AtomicFramebuffer.hpp:26-31).  Filters
+are applied by warping the sub-pixel jitter through the filter's inverse CDF
+(sample-placement filtering, equivalent in expectation to splat filtering
+for these separable kernels).
 """
 from __future__ import annotations
 
@@ -14,8 +19,28 @@ import numpy as np
 from ..utils.pytree import static_field, struct
 from ..utils.vecmath import normalize
 
+FILTER_BOX = "box"
+FILTER_TENT = "tent"
+FILTER_GAUSSIAN = "gaussian"
+_FILTERS = (FILTER_BOX, FILTER_TENT, FILTER_GAUSSIAN)
 
-@struct(meta=("res_x", "res_y", "kind"))
+
+def _filter_warp(u, kind):
+    """Map u in [0,1) to a filter-distributed sub-pixel offset."""
+    if kind == FILTER_TENT:
+        # inverse CDF of the tent on [-1, 1]
+        return jnp.where(u < 0.5, jnp.sqrt(2.0 * u) - 1.0,
+                         1.0 - jnp.sqrt(jnp.maximum(2.0 * (1.0 - u), 0.0)))
+    if kind == FILTER_GAUSSIAN:
+        # truncated gaussian (sigma ~ 0.5 px, clipped to ±1.5)
+        t = jnp.clip(u, 1e-6, 1.0 - 1e-6)
+        from jax.scipy.special import erfinv
+        return jnp.clip(0.5 * math.sqrt(2.0) * erfinv(2.0 * t - 1.0),
+                        -1.5, 1.5)
+    return u - 0.5
+
+
+@struct(meta=("res_x", "res_y", "kind", "filter_kind"))
 class Camera:
     transform: jnp.ndarray  # (4,4) camera-to-world
     fov_deg: jnp.ndarray
@@ -24,16 +49,20 @@ class Camera:
     res_x: int = static_field(default=512)
     res_y: int = static_field(default=512)
     kind: str = static_field(default="pinhole")
+    filter_kind: str = static_field(default=FILTER_BOX)
 
     @staticmethod
     def create(transform=None, fov_deg=60.0, res=(512, 512), kind="pinhole",
-               aperture=0.0, focus_dist=1.0):
+               aperture=0.0, focus_dist=1.0, filter_kind=FILTER_BOX):
         tf = np.eye(4, dtype=np.float32) if transform is None else np.asarray(
             transform, np.float32)
+        if filter_kind not in _FILTERS:
+            filter_kind = FILTER_BOX
         return Camera(transform=jnp.asarray(tf), fov_deg=jnp.float32(fov_deg),
                       aperture=jnp.float32(aperture),
                       focus_dist=jnp.float32(focus_dist),
-                      res_x=int(res[0]), res_y=int(res[1]), kind=kind)
+                      res_x=int(res[0]), res_y=int(res[1]), kind=kind,
+                      filter_kind=filter_kind)
 
     @property
     def pos(self):
@@ -41,11 +70,48 @@ class Camera:
 
     def sample_ray(self, px, py, u_filter, u_lens=None):
         """Ray for pixel (px, py) with sub-pixel jitter u_filter [2] in [0,1)
-        (PinholeCamera::sampleDirection, PinholeCamera.cpp:70-86; box filter)."""
+        (PinholeCamera::sampleDirection, PinholeCamera.cpp:70-86)."""
+        if self.kind == "equirectangular":
+            # EquirectangularCamera: full lat-long sphere
+            u = (px.astype(jnp.float32) + u_filter[..., 0]) / self.res_x
+            v = (py.astype(jnp.float32) + u_filter[..., 1]) / self.res_y
+            phi = (u - 0.5) * 2.0 * jnp.pi
+            theta = v * jnp.pi
+            st = jnp.sin(theta)
+            local_d = jnp.stack([jnp.cos(phi) * st, -jnp.cos(theta),
+                                 jnp.sin(phi) * st], axis=-1)
+            rd = jnp.einsum("ij,...j->...i", self.transform[:3, :3], local_d, precision="highest")
+            ro = jnp.broadcast_to(self.transform[:3, 3], rd.shape)
+            return ro, rd
+        if self.kind == "cubemap":
+            # CubemapCamera: 6 faces in a horizontal strip [6W' x H]
+            fw = self.res_x // 6
+            face = jnp.clip(px // fw, 0, 5)
+            fx = (px - face * fw).astype(jnp.float32)
+            a = (fx + u_filter[..., 0]) / fw * 2.0 - 1.0
+            b = 1.0 - (py.astype(jnp.float32) + u_filter[..., 1]) \
+                / self.res_y * 2.0
+            one = jnp.ones_like(a)
+            dirs = jnp.stack([
+                jnp.stack([one, b, -a], -1),    # +x
+                jnp.stack([-one, b, a], -1),    # -x
+                jnp.stack([a, one, -b], -1),    # +y
+                jnp.stack([a, -one, b], -1),    # -y
+                jnp.stack([a, b, one], -1),     # +z
+                jnp.stack([-a, b, -one], -1),   # -z
+            ], axis=0)
+            local_d = normalize(jnp.take_along_axis(
+                dirs, face[None, ..., None].astype(jnp.int32), axis=0)[0])
+            rd = jnp.einsum("ij,...j->...i", self.transform[:3, :3], local_d, precision="highest")
+            ro = jnp.broadcast_to(self.transform[:3, 3], rd.shape)
+            return ro, rd
+
         plane_dist = 1.0 / jnp.tan(jnp.deg2rad(self.fov_deg) * 0.5)
         ratio = self.res_y / self.res_x
         pixel_size = 1.0 / self.res_x
-        uv = u_filter - 0.5
+        uv = jnp.stack([_filter_warp(u_filter[..., 0], self.filter_kind),
+                        _filter_warp(u_filter[..., 1], self.filter_kind)],
+                       axis=-1)
         local_d = jnp.stack([
             -1.0 + (px.astype(jnp.float32) + 0.5 + uv[..., 0]) * 2.0 * pixel_size,
             ratio - (py.astype(jnp.float32) + 0.5 + uv[..., 1]) * 2.0 * pixel_size,
@@ -63,7 +129,7 @@ class Camera:
             ro_local = lens
         else:
             ro_local = jnp.zeros_like(local_d)
-        rd = jnp.einsum("ij,...j->...i", self.transform[:3, :3], local_d)
-        ro = (jnp.einsum("ij,...j->...i", self.transform[:3, :3], ro_local)
+        rd = jnp.einsum("ij,...j->...i", self.transform[:3, :3], local_d, precision="highest")
+        ro = (jnp.einsum("ij,...j->...i", self.transform[:3, :3], ro_local, precision="highest")
               + self.transform[:3, 3])
         return ro, rd

@@ -87,6 +87,26 @@ def _u(key, bounce, slot):
                         + jnp.uint32(slot))
 
 
+def _make_draw(key, key_pix, qmc):
+    """Per-ray uniform draws.  With a Sobol point `qmc` [D], the first
+    QMC_BOUNCES bounces use Cranley-Patterson-rotated Sobol dims (offset
+    fixed per pixel+dim, so stratification survives across samples);
+    deeper bounces and qmc=None fall back to the hash sampler."""
+    from ..utils.sobol import DIMS, QMC_BOUNCES, SLOTS
+
+    def draw(bounce, slot):
+        h = _u(key, bounce, slot)
+        if qmc is None:
+            return h
+        off = trng.uniform(key_pix, bounce.astype(jnp.uint32)
+                           * jnp.uint32(SLOTS) + jnp.uint32(slot))
+        dim = jnp.minimum(bounce, QMC_BOUNCES - 1) * SLOTS + slot
+        return jnp.where(bounce < QMC_BOUNCES,
+                         jnp.mod(qmc[dim] + off, 1.0), h)
+
+    return draw
+
+
 def _power_heuristic(a, b):
     return a * a / jnp.maximum(a * a + b * b, 1e-20)
 
@@ -168,7 +188,7 @@ def shadow_walk(scene, ro, rd, dist, light_prim, med_idx, med_state, pss,
 
 def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
                normal, tfr, bfr, wi_local, bsdf_idx,
-               med_idx, med_state, pss_next, key, bounce, gate):
+               med_idx, med_state, pss_next, draw, bounce, gate):
     """One-light NEE with both MIS strategies for surface AND volume vertices
     in a single [2R] shadow walk.  Returns radiance [R,3]."""
     R = p_vtx.shape[0]
@@ -178,7 +198,7 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
     if n_total == 0:
         return jnp.zeros((R, 3))
 
-    ul = _u(key, bounce, 40)
+    ul = draw(bounce, 40)
     li_sel = jnp.minimum((ul * n_total).astype(jnp.int32), n_total - 1)
     is_env = (li_sel == nl) if has_env else jnp.zeros(R, bool)
     light = (scene.lights[jnp.minimum(li_sel, nl - 1)] if nl > 0
@@ -188,7 +208,7 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
     light_e = scene.prims.emission[jnp.maximum(light, 0)]
 
     # ---------------- strategy 1: light sampling --------------------------
-    u1, u2 = _u(key, bounce, 41), _u(key, bounce, 42)
+    u1, u2 = draw(bounce, 41), draw(bounce, 42)
     d1, ldist, lpdf, lvalid = jax.vmap(
         lambda l, a, b_, q: pr.sample_direct(scene.prims, l, q, a, b_))(
         jnp.maximum(light, 0), u1, u2, p_vtx)
@@ -266,8 +286,8 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
     o1 = p_vtx + off1
 
     # ---------------- strategy 2: material sampling -----------------------
-    u = jnp.stack([_u(key, bounce, 44), _u(key, bounce, 45),
-                   _u(key, bounce, 46), _u(key, bounce, 47)], axis=-1)
+    u = jnp.stack([draw(bounce, 44), draw(bounce, 45),
+                   draw(bounce, 46), draw(bounce, 47)], axis=-1)
     s_surf = jax.vmap(lambda i, wi, uu: bs.sample_bsdf(scene.bsdfs, i, wi,
                                                        uu))(
         bsdf_idx, wi_local, u)
@@ -343,7 +363,7 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
                         med_state.reset_where(jnp.ones(R, bool)))
     state2 = md._select(is_vol, med_state,
                         med_state.reset_where(jnp.ones(R, bool)))
-    uj = _u(key, bounce, 43)
+    uj = draw(bounce, 43)
     tr = shadow_walk(
         scene,
         _cat(o1, o2), _cat(d1, d2), _cat(jnp.where(valid1, ldist, 1.0),
@@ -369,15 +389,23 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
 # The main walk (PathTracer::traceSample, PathTracer.cpp:17-204)
 # ---------------------------------------------------------------------------
 
-def trace(scene: Scene, px, py, spp_idx):
+def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
     """Trace one sample for each pixel in the flat batch.
-    px, py: int32 [R]; spp_idx: scalar int32.  Returns radiance [R,3]."""
+    px, py: int32 [R]; spp_idx: scalar int32.  Returns radiance [R,3], or
+    (radiance, aovs) when want_aovs — depth/normal/albedo/visibility feature
+    buffers at the first scattering vertex (PathTracer.cpp:107-125,
+    cameras/OutputBufferSettings.hpp:11-18).  qmc: optional [D] Sobol point
+    (utils/sobol.py) for low-discrepancy sampling of the first bounces."""
     R = px.shape[0]
     key = _ray_key(scene, px.astype(jnp.uint32), py.astype(jnp.uint32),
                    jnp.uint32(spp_idx))
+    key_pix = trng.xxhash32_4(px.astype(jnp.uint32), py.astype(jnp.uint32),
+                              jnp.uint32(0x51CB0113),
+                              scene.scene_seed ^ jnp.uint32(0xC9A01E77))
+    draw = _make_draw(key, key_pix, qmc)
     b0 = jnp.zeros(R, jnp.int32)
-    uf = jnp.stack([_u(key, b0, 0), _u(key, b0, 1)], axis=-1)
-    ul = jnp.stack([_u(key, b0, 2), _u(key, b0, 3)], axis=-1)
+    uf = jnp.stack([draw(b0, 0), draw(b0, 1)], axis=-1)
+    ul = jnp.stack([draw(b0, 2), draw(b0, 3)], axis=-1)
     ro, rd = scene.camera.sample_ray(px, py, uf, ul)
 
     carry0 = dict(
@@ -390,6 +418,11 @@ def trace(scene: Scene, px, py, spp_idx):
         med_state=md.MediumState.make(R),
         bounce=jnp.zeros(R, jnp.int32),
         medium_bounces=jnp.zeros(R, jnp.int32),
+        aov_depth=jnp.zeros(R, jnp.float32),
+        aov_normal=jnp.zeros((R, 3), jnp.float32),
+        aov_albedo=jnp.zeros((R, 3), jnp.float32),
+        aov_vis=jnp.zeros(R, jnp.float32),
+        aov_seen=jnp.zeros(R, bool),
     )
 
     max_iters = scene.max_bounces + 4  # forward hops don't consume bounces
@@ -424,7 +457,7 @@ def trace(scene: Scene, px, py, spp_idx):
         dbg_sd = {}
         for mi, medium in enumerate(scene.media):
             in_m = active & (med_idx == mi)
-            uj = _u(key, bounce, 4)
+            uj = draw(bounce, 4)
             res, med_state_new = md.sample_distance(
                 medium, scene.scene_seed, ro, rd, jnp.zeros(R), far,
                 med_state, pss, uj, in_m)
@@ -510,16 +543,33 @@ def trace(scene: Scene, px, py, spp_idx):
         p_vtx = jnp.where(vol_event[:, None], vol_p, hit_p)
         c = next_event(scene, p_vtx, vol_event, rd, med_aniso, scheme, med_t,
                        sh_normal, tfr, bfr, wi_local, bsdf_idx, med_idx,
-                       med_state, pss_next, key, bounce, gate)
+                       med_state, pss_next, draw, bounce, gate)
         emission = emission + jnp.where(gate[:, None], throughput * c, 0.0)
+
+        # ---- feature buffers at the first scattering vertex ----------------
+        first_vtx = (surf_event | vol_event) & ~carry["aov_seen"]
+        depth_here = jnp.where(vol_event, med_t,
+                               jnp.where(did_hit, isect["t"], 0.0))
+        normal_here = jnp.where(vol_event[:, None],
+                                safe_normalize(med_aniso), sh_normal)
+        albedo_here = jnp.where(vol_event[:, None], med_weight,
+                                scene.bsdfs.albedo[bsdf_idx])
+        vis_here = (jnp.sum(c, axis=-1) > 0.0).astype(jnp.float32)
+        aov_depth = jnp.where(first_vtx, depth_here, carry["aov_depth"])
+        aov_normal = jnp.where(first_vtx[:, None], normal_here,
+                               carry["aov_normal"])
+        aov_albedo = jnp.where(first_vtx[:, None], albedo_here,
+                               carry["aov_albedo"])
+        aov_vis = jnp.where(first_vtx, vis_here, carry["aov_vis"])
+        aov_seen = carry["aov_seen"] | first_vtx
 
         # ---- volume scattering (handleVolume:552-562) ---------------------
         new_rd = rd
         phase_ok = jnp.ones(R, bool)
         for mi, medium in enumerate(scene.media):
             in_m = vol_event & (med_idx == mi)
-            u = jnp.stack([_u(key, bounce, 8), _u(key, bounce, 9),
-                           _u(key, bounce, 10), _u(key, bounce, 11)],
+            u = jnp.stack([draw(bounce, 8), draw(bounce, 9),
+                           draw(bounce, 10), draw(bounce, 11)],
                           axis=-1)
             psamp = ph.sample_phase(medium, scene.bsdfs, rd, med_aniso, u)
             new_rd = jnp.where(in_m[:, None], psamp["w"], new_rd)
@@ -536,8 +586,8 @@ def trace(scene: Scene, px, py, spp_idx):
         medium_bounces = medium_bounces + vol_event.astype(jnp.int32)
 
         # ---- surface scattering (handleSurface:598-626) -------------------
-        u = jnp.stack([_u(key, bounce, 16), _u(key, bounce, 17),
-                       _u(key, bounce, 18), _u(key, bounce, 19)], axis=-1)
+        u = jnp.stack([draw(bounce, 16), draw(bounce, 17),
+                       draw(bounce, 18), draw(bounce, 19)], axis=-1)
         s = jax.vmap(lambda i, wi, uu: bs.sample_bsdf(scene.bsdfs, i, wi,
                                                       uu))(
             bsdf_idx, wi_local, u)
@@ -569,7 +619,7 @@ def trace(scene: Scene, px, py, spp_idx):
         thr_max = jnp.max(jnp.abs(throughput), axis=-1)
         active = active & (thr_max > 0.0)
 
-        rr_u = _u(key, bounce, 30)
+        rr_u = draw(bounce, 30)
         rr = active & (bounce > 2) & (thr_max < 0.1)
         survive = rr_u < thr_max
         throughput = jnp.where(
@@ -589,7 +639,10 @@ def trace(scene: Scene, px, py, spp_idx):
                          emission=emission, active=active,
                          was_specular=was_specular, med_idx=med_idx,
                          med_state=med_state, bounce=bounce,
-                         medium_bounces=medium_bounces)
+                         medium_bounces=medium_bounces,
+                         aov_depth=aov_depth, aov_normal=aov_normal,
+                         aov_albedo=aov_albedo, aov_vis=aov_vis,
+                         aov_seen=aov_seen)
         import os as _os
         if _os.environ.get("TUNGSTEN_TPU_DEBUG_STASH"):
             out_carry.update(**dbg_sd)
@@ -615,19 +668,39 @@ def trace(scene: Scene, px, py, spp_idx):
     else:
         out = jax.lax.fori_loop(0, max_iters, bounce_body, carry0)
     emission = jnp.where(jnp.isfinite(out["emission"]), out["emission"], 0.0)
+    if want_aovs:
+        return emission, {"depth": out["aov_depth"],
+                          "normal": out["aov_normal"],
+                          "albedo": out["aov_albedo"],
+                          "visibility": out["aov_vis"]}
     return emission
 
 
-def render_pass(scene: Scene, spp_idx):
+def render_pass(scene: Scene, spp_idx, qmc=None):
     """One sample for every pixel; returns [H, W, 3]."""
     W, H = scene.camera.res_x, scene.camera.res_y
     px, py = jnp.meshgrid(jnp.arange(W, dtype=jnp.int32),
                           jnp.arange(H, dtype=jnp.int32))
-    c = trace(scene, px.reshape(-1), py.reshape(-1), spp_idx)
+    c = trace(scene, px.reshape(-1), py.reshape(-1), spp_idx, qmc=qmc)
     return c.reshape(H, W, 3)
 
 
-def render_rows(scene: Scene, spp_idx, row0, n_rows):
+def render_aovs(scene: Scene, spp_idx):
+    """One sample per pixel + feature buffers.  Returns (img [H,W,3], dict of
+    depth [H,W], normal [H,W,3], albedo [H,W,3], visibility [H,W])."""
+    W, H = scene.camera.res_x, scene.camera.res_y
+    px, py = jnp.meshgrid(jnp.arange(W, dtype=jnp.int32),
+                          jnp.arange(H, dtype=jnp.int32))
+    c, aovs = trace(scene, px.reshape(-1), py.reshape(-1), spp_idx,
+                    want_aovs=True)
+    return (c.reshape(H, W, 3),
+            {"depth": aovs["depth"].reshape(H, W),
+             "normal": aovs["normal"].reshape(H, W, 3),
+             "albedo": aovs["albedo"].reshape(H, W, 3),
+             "visibility": aovs["visibility"].reshape(H, W)})
+
+
+def render_rows(scene: Scene, spp_idx, row0, n_rows, qmc=None):
     """One sample for `n_rows` image rows starting at `row0` (static count).
 
     The tiled analog of the reference's 16x16 render tiles
@@ -637,5 +710,5 @@ def render_rows(scene: Scene, spp_idx, row0, n_rows):
     W = scene.camera.res_x
     rows = row0 + jnp.arange(n_rows, dtype=jnp.int32)
     px, py = jnp.meshgrid(jnp.arange(W, dtype=jnp.int32), rows)
-    c = trace(scene, px.reshape(-1), py.reshape(-1), spp_idx)
+    c = trace(scene, px.reshape(-1), py.reshape(-1), spp_idx, qmc=qmc)
     return c.reshape(n_rows, W, 3)

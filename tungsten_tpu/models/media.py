@@ -41,6 +41,11 @@ GPIS_SPARSE_CONV = "sparse_conv_noise"
 GPIS_WEIGHT_SPACE = "weight_space"
 GPIS_FUNCTION_SPACE = "function_space"
 MEDIUM_HOMOGENEOUS = "homogeneous"
+MEDIUM_EXPONENTIAL = "exponential"
+MEDIUM_ATMOSPHERIC = "atmospheric"
+MEDIUM_VOXEL = "voxel"
+
+_HETERO_KINDS = (MEDIUM_EXPONENTIAL, MEDIUM_ATMOSPHERIC, MEDIUM_VOXEL)
 
 NORMAL_CONDITIONED = "conditioned_gaussian"
 NORMAL_FD = "finite_differences"
@@ -60,6 +65,9 @@ class Medium:
     cfg: sc.SparseConvConfig
     gp: sc.GP
     hg_g: jnp.ndarray
+    law: object = None  # transmittance.TransmittanceLaw (None = exponential)
+    field_params: jnp.ndarray = None  # [8] heterogeneous density params
+    grid: jnp.ndarray = None  # [D,H,W] voxel densities
     kind: str = static_field(default=GPIS_SPARSE_CONV)
     min_step: int = static_field(default=8)
     max_march_steps: int = static_field(default=8192)
@@ -369,17 +377,170 @@ def sample_gradient(med, scene_seed, p, t_seg, rd, state, pss):
 # Classic homogeneous medium (media/HomogeneousMedium.cpp) — gray version
 # ---------------------------------------------------------------------------
 
+def _law(med):
+    from . import transmittance as tr
+    if med.law is None:
+        return tr.make_law(tr.T_EXPONENTIAL, params=(1.0, 0, 0, 0))
+    return med.law
+
+
 def _sample_distance_homogeneous(med, ro, rd, near, far, state, pss,
                                  u_jitter, active):
+    """HomogeneousMedium::sampleDistance with a pluggable transmittance law
+    (media/HomogeneousMedium.cpp; Transmittance.hpp:31-43): tau* is sampled
+    in optical depth through the law's surface/medium-started inverse CDF."""
+    from . import transmittance as tr
+    law = _law(med)
     sig_t = jnp.maximum(jnp.mean(med.sigma_t), 1e-9)
     sig_s = jnp.mean(med.sigma_s * med.density)
-    t = near - jnp.log1p(-u_jitter * (1.0 - 1e-7)) / sig_t
+    u2 = trng.uniform(trng.xxhash32_4(pss[:, 0], pss[:, 1], pss[:, 2],
+                                      pss[:, 3] ^ jnp.uint32(0x7E57A110)),
+                      jnp.uint32(0))
+    u1 = jnp.clip(u_jitter, 1e-7, 1.0 - 1e-7)
+    start_surf = state.first_scatter
+    tau_s = jnp.where(start_surf,
+                      tr.sample_tau(law, u1, u2, True),
+                      tr.sample_tau(law, u1, u2, False))
+    t = near + tau_s / sig_t
     far_eff = jnp.where(far < 1e30, far, near + 2000.0)
     hit = active & (t < far_eff)
     t_out = jnp.where(hit, t, far_eff)
-    # distance-sampled weight sigma_s/sigma_t; exited: Tr/pdf = 1
-    weight = jnp.where(hit[:, None],
-                       jnp.full((ro.shape[0], 3), sig_s / sig_t), 1.0)
+    tau_hit = jnp.clip(tau_s, 0.0, 1e6)
+    tau_far = (far_eff - near) * sig_t
+    # scattered: weight = sigma_s * Tr(tau)/pdf(tau); exited:
+    # Tr(tau_far)/P_surface(tau_far)  (HomogeneousMedium.cpp sampleDistance)
+    def regimes(ss):
+        ev_m = tr.eval_tr(law, tau_hit, ss, False)
+        pdf_m = tr.medium_pdf(law, tau_hit, ss) * sig_t
+        ev_s = tr.eval_tr(law, tau_far, ss, True)
+        p_s = tr.surface_probability(law, tau_far, ss)
+        return (sig_s / sig_t * ev_m * sig_t / jnp.maximum(pdf_m, 1e-12),
+                ev_s / jnp.maximum(p_s, 1e-12))
+    wm_t, ws_t = regimes(True)
+    wm_f, ws_f = regimes(False)
+    w_med = jnp.where(start_surf, wm_t, wm_f)
+    w_sur = jnp.where(start_surf, ws_t, ws_f)
+    weight = jnp.where(hit, w_med, w_sur)[:, None] * jnp.ones((1, 3))
+    new_state = replace(
+        state,
+        first_scatter=jnp.where(active, False, state.first_scatter),
+        info_t=jnp.where(active, state.info_t + t_out - near, state.info_t),
+        bounce=jnp.where(active, state.bounce + 1, state.bounce))
+    return ({"exited": ~hit, "t": t_out, "weight": weight,
+             "aniso": jnp.zeros_like(ro).at[:, 0].set(1.0),
+             "gp_id": jnp.zeros(ro.shape[0], jnp.int32),
+             "scheme": jnp.zeros(ro.shape[0], jnp.int32),
+             "failed": jnp.zeros(ro.shape[0], bool)}, new_state)
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous classic media (Exponential/Atmospheric/Voxel *.cpp) — one
+# fixed-step optical-depth marcher over a density field
+# ---------------------------------------------------------------------------
+
+def hetero_density(med, p):
+    """Density multiplier at world point p [*,3] (scalar field)."""
+    q = med.field_params
+    if med.kind == MEDIUM_EXPONENTIAL:
+        # ExponentialMedium: rho = exp(-falloff * dot(p - p0, up))
+        up = q[0:3]
+        falloff = q[3]
+        h = jnp.sum((p - q[4:7]) * up, axis=-1)
+        return jnp.exp(-falloff * h)
+    if med.kind == MEDIUM_ATMOSPHERIC:
+        # AtmosphericMedium: rho = exp(-(|p - c| - R)/H)
+        c = q[0:3]
+        R, H = q[3], q[4]
+        r = jnp.linalg.norm(p - c, axis=-1)
+        return jnp.exp(-jnp.maximum(r - R, 0.0) / jnp.maximum(H, 1e-6))
+    # voxel: trilinear lookup in bbox [q[0:3], q[0:3]+q[4:7]]
+    g = med.grid
+    D, H_, W = g.shape
+    rel = (p - q[0:3]) / jnp.maximum(q[4:7], 1e-9)
+    inside = jnp.all((rel >= 0.0) & (rel <= 1.0), axis=-1)
+    gx = rel[..., 0] * (W - 1)
+    gy = rel[..., 1] * (H_ - 1)
+    gz = rel[..., 2] * (D - 1)
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, H_ - 2)
+    z0 = jnp.clip(jnp.floor(gz).astype(jnp.int32), 0, D - 2)
+    fx, fy, fz = gx - x0, gy - y0, gz - z0
+
+    def at(dz, dy, dx):
+        return g[z0 + dz, y0 + dy, x0 + dx]
+
+    c00 = at(0, 0, 0) * (1 - fx) + at(0, 0, 1) * fx
+    c01 = at(0, 1, 0) * (1 - fx) + at(0, 1, 1) * fx
+    c10 = at(1, 0, 0) * (1 - fx) + at(1, 0, 1) * fx
+    c11 = at(1, 1, 0) * (1 - fx) + at(1, 1, 1) * fx
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return jnp.where(inside, c0 * (1 - fz) + c1 * fz, 0.0)
+
+
+_HETERO_STEPS = 256
+
+
+def _optical_depth_march(med, ro, rd, near, far, tau_target):
+    """Fixed-step accumulation of tau = int sigma_t rho dt; returns
+    (t_at_target [R] (= far when never reached), tau_total [R]).
+    Uniform trip count: one [S,R] block on the VPU."""
+    sig_t = jnp.maximum(jnp.mean(med.sigma_t), 1e-9)
+    R = ro.shape[0]
+    dt = (far - near) / _HETERO_STEPS
+    s = jnp.arange(_HETERO_STEPS, dtype=jnp.float32)
+    ts = near[None, :] + (s[:, None] + 0.5) * dt[None, :]       # [S,R]
+    ps = ro[None, :, :] + ts[:, :, None] * rd[None, :, :]        # [S,R,3]
+    rho = hetero_density(med, ps.reshape(-1, 3)).reshape(
+        _HETERO_STEPS, R)
+    dtau = sig_t * rho * dt[None, :]
+    cum = jnp.cumsum(dtau, axis=0)
+    tau_total = cum[-1]
+    reached = cum >= tau_target[None, :]
+    idx = jnp.argmax(reached, axis=0)
+    any_r = jnp.any(reached, axis=0)
+    cum_prev = jnp.where(idx > 0,
+                         jnp.take_along_axis(
+                             cum, jnp.maximum(idx - 1, 0)[None, :],
+                             axis=0)[0], 0.0)
+    d_here = jnp.take_along_axis(dtau, idx[None, :], axis=0)[0]
+    frac = jnp.clip((tau_target - cum_prev) / jnp.maximum(d_here, 1e-12),
+                    0.0, 1.0)
+    t_hit = near + (idx.astype(jnp.float32) + frac) * dt
+    return jnp.where(any_r, t_hit, far), tau_total
+
+
+def _sample_distance_hetero(med, ro, rd, near, far, state, pss, u_jitter,
+                            active):
+    from . import transmittance as tr
+    law = _law(med)
+    far_eff = jnp.where(far < 1e30, far, near + 2000.0)
+    u2 = trng.uniform(trng.xxhash32_4(pss[:, 0], pss[:, 1], pss[:, 2],
+                                      pss[:, 3] ^ jnp.uint32(0x48E7E120)),
+                      jnp.uint32(0))
+    u1 = jnp.clip(u_jitter, 1e-7, 1.0 - 1e-7)
+    start_surf = state.first_scatter
+    tau_s = jnp.where(start_surf, tr.sample_tau(law, u1, u2, True),
+                      tr.sample_tau(law, u1, u2, False))
+    t_hit, tau_total = _optical_depth_march(med, ro, rd, near, far_eff,
+                                            tau_s)
+    hit = active & (t_hit < far_eff)
+    t_out = jnp.where(hit, t_hit, far_eff)
+    sig_s_bar = jnp.mean(med.sigma_s * med.density)
+    sig_t_bar = jnp.maximum(jnp.mean(med.sigma_t), 1e-9)
+
+    def regimes(ss):
+        ev_m = tr.eval_tr(law, tau_s, ss, False)
+        pdf_m = tr.medium_pdf(law, tau_s, ss)
+        ev_s = tr.eval_tr(law, tau_total, ss, True)
+        p_s = tr.surface_probability(law, tau_total, ss)
+        return (ev_m / jnp.maximum(pdf_m, 1e-12),
+                ev_s / jnp.maximum(p_s, 1e-12))
+    wm_t, ws_t = regimes(True)
+    wm_f, ws_f = regimes(False)
+    w_med = jnp.where(start_surf, wm_t, wm_f) * (sig_s_bar / sig_t_bar)
+    w_sur = jnp.where(start_surf, ws_t, ws_f)
+    weight = jnp.where(hit, w_med, w_sur)[:, None] * jnp.ones((1, 3))
     new_state = replace(
         state,
         first_scatter=jnp.where(active, False, state.first_scatter),
@@ -482,6 +643,9 @@ def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
     if med.kind == MEDIUM_HOMOGENEOUS:
         return _sample_distance_homogeneous(med, ro, rd, near, far, state,
                                             pss, u_jitter, active)
+    if med.kind in _HETERO_KINDS:
+        return _sample_distance_hetero(med, ro, rd, near, far, state, pss,
+                                       u_jitter, active)
 
     state = _precondition(med, scene_seed, ro, rd, near, state, pss, active)
     value_at = make_value_at(med, scene_seed, ro, rd, near, state, pss)
@@ -561,9 +725,25 @@ def transmittance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
                                      state, pss, u_jitter, active)
         return jnp.where(active, jnp.where(res["exited"], 1.0, 0.0), 1.0)
     if med.kind == MEDIUM_HOMOGENEOUS:
-        # gray exponential transmittance (HomogeneousMedium.cpp)
+        # gray law transmittance (HomogeneousMedium::transmittance; shadow
+        # rays end on a surface/light so endOnSurface=true)
+        from . import transmittance as tr
+        law = _law(med)
         tau = jnp.mean(med.sigma_t) * (far_eff - near)
-        return jnp.where(active, jnp.exp(-tau), 1.0)
+        tr_s = tr.eval_tr(law, tau, True, True)
+        tr_m = tr.eval_tr(law, tau, False, True)
+        return jnp.where(active,
+                         jnp.where(state.first_scatter, tr_s, tr_m), 1.0)
+    if med.kind in _HETERO_KINDS:
+        from . import transmittance as tr
+        law = _law(med)
+        _, tau_total = _optical_depth_march(
+            med, ro, rd, near, far_eff,
+            jnp.full(ro.shape[0], 1e30, jnp.float32))
+        tr_s = tr.eval_tr(law, tau_total, True, True)
+        tr_m = tr.eval_tr(law, tau_total, False, True)
+        return jnp.where(active,
+                         jnp.where(state.first_scatter, tr_s, tr_m), 1.0)
     state = _precondition(med, scene_seed, ro, rd, near, state, pss, active)
     value_at = make_value_at(med, scene_seed, ro, rd, near, state, pss)
     m = march(med, value_at, ro, rd, near, far_eff, state, pss, u_jitter,

@@ -190,8 +190,9 @@ def _isect_sphere(s, ro, rd):
 
 
 def _isect_cube(s, ro, rd):
-    p = jnp.einsum("pij,pj->pi", s.rot, ro[None, :] - s.p0)
-    d = jnp.einsum("pij,pj->pi", s.rot, jnp.broadcast_to(rd, (s.count, 3)))
+    p = jnp.einsum("pij,pj->pi", s.rot, ro[None, :] - s.p0, precision="highest")
+    d = jnp.einsum("pij,pj->pi", s.rot, jnp.broadcast_to(rd, (s.count, 3)),
+                   precision="highest")
     # clip keeps |dt/dd| bounded for rays near-parallel to a face (the
     # unclipped 1/d^2 backward overflows f32 and poisons gradients)
     inv_d = jnp.clip(1.0 / jnp.where(jnp.abs(d) < 1e-7,
@@ -214,7 +215,7 @@ def _isect_cube(s, ro, rd):
     ax = jnp.where(back, ax_exit, ax_entry)
     sign = -jnp.sign(jnp.take_along_axis(d, ax[:, None], axis=-1))[:, 0]
     n_local = jnp.eye(3)[ax] * sign[:, None]
-    normal = jnp.einsum("pji,pj->pi", s.rot, n_local)  # rot^T (local->world)
+    normal = jnp.einsum("pji,pj->pi", s.rot, n_local, precision="highest")  # rot^T (local->world)
     return jnp.where(hit, t, _INF), back, normal
 
 

@@ -126,7 +126,7 @@ class ProceduralMean:
 
     def _local(self, p):
         ph = jnp.concatenate([p, jnp.ones(p.shape[:-1] + (1,), p.dtype)], axis=-1)
-        return jnp.einsum("ij,...j->...i", self.transform, ph)[..., :3]
+        return jnp.einsum("ij,...j->...i", self.transform, ph, precision="highest")[..., :3]
 
     def mean(self, p):
         f = sdf.FUNCTIONS[self.fn_name]
@@ -214,11 +214,11 @@ class NeuralMean:
 
     def mean(self, p):
         ph = jnp.concatenate([p, jnp.ones(p.shape[:-1] + (1,), p.dtype)], axis=-1)
-        x = jnp.einsum("ij,...j->...i", self.transform, ph)[..., :3]
+        x = jnp.einsum("ij,...j->...i", self.transform, ph, precision="highest")[..., :3]
         h = x
         n = len(self.weights)
         for i, (w, b) in enumerate(self.weights):
-            h = jnp.einsum("...i,io->...o", h, w) + b
+            h = jnp.einsum("...i,io->...o", h, w, precision="highest") + b
             if i < n - 1:
                 h = jnp.sin(h)
         return h[..., 0] * self.scale + self.offset

@@ -77,7 +77,7 @@ def evaluate(real, gp, p):
     """f(p) (WeightSpaceRealization::evaluate, :26-33). Returns (val, gp_id)."""
     b = real.basis
     scale = jnp.sqrt(gp.cov.cov(p, p))
-    phase = jnp.einsum("nd,d->n", b.dirs, p) * b.freqs + b.offsets
+    phase = jnp.einsum("nd,d->n", b.dirs, p, precision="highest") * b.freqs + b.offsets
     s = jnp.sum(real.weights * jnp.cos(phase)) * jnp.sqrt(2.0 / b.n)
     m, gp_id = gp.mean_and_id(p)
     return scale * s + m, gp_id
@@ -98,9 +98,9 @@ def evaluate_gradient(real, gp, p):
     WeightSpaceBasis::evaluateGradient, :129-137)."""
     b = real.basis
     scale = jnp.sqrt(gp.cov.cov(p, p))
-    phase = jnp.einsum("nd,d->n", b.dirs, p) * b.freqs + b.offsets
+    phase = jnp.einsum("nd,d->n", b.dirs, p, precision="highest") * b.freqs + b.offsets
     coeff = -jnp.sin(phase) * b.freqs * real.weights
-    g = jnp.einsum("n,nd->d", coeff, b.dirs) * jnp.sqrt(2.0 / b.n)
+    g = jnp.einsum("n,nd->d", coeff, b.dirs, precision="highest") * jnp.sqrt(2.0 / b.n)
     m, gp_id = gp.mean_and_id(p)
     mg = gp.mean_grad_by_id(p, gp_id)
     return scale * g + mg

@@ -31,24 +31,119 @@ def scene_hash(path):
         json.dumps(doc, sort_keys=True).encode()).hexdigest()[:16]
 
 
-def render(scene, spp, spp_start=0, film=None, progress=None, sharded=False):
+def render(scene, spp, spp_start=0, film=None, progress=None, sharded=False,
+           sampler="independent"):
     """Accumulate spp samples; returns film [H,W,3] (running sum / spp)."""
     H, W = scene.camera.res_y, scene.camera.res_x
     if film is None:
         film = jnp.zeros((H, W, 3), jnp.float32)
 
+    use_qmc = sampler == "sobol"
     if sharded and len(jax.devices()) > 1:
         mesh = make_render_mesh()
         pass_fn = shard_render_pass(scene, mesh)
+        use_qmc = False
     else:
         jfn = jax.jit(render_pass)
-        pass_fn = lambda s: jfn(scene, s)
+        if use_qmc:
+            from .utils.sobol import sobol_point
+            pass_fn = lambda s: jfn(scene, s,
+                                    jnp.asarray(sobol_point(int(s))))
+        else:
+            pass_fn = lambda s: jfn(scene, s)
 
     for s in range(spp_start, spp_start + spp):
         film = film + pass_fn(jnp.int32(s))
         if progress:
             progress(s, film)
     return film
+
+
+def render_adaptive(scene, base_spp, extra_spp, progress=None,
+                    sampler="independent", tile=4, quantile=0.95):
+    """Adaptive sampling, TPU style (PathTraceIntegrator.cpp:43-133).
+
+    Base pass fills twin buffers (even/odd spp) for a per-pixel variance
+    estimate; per-4x4-tile errors above the clamped threshold select pixels,
+    which are COMPACTED into a flat ray batch (instead of the reference's
+    per-tile work lists) and traced for `extra_spp` more samples.  Returns
+    (film_sum [H,W,3], counts [H,W])."""
+    from .models.integrator import trace
+    H, W = scene.camera.res_y, scene.camera.res_x
+    even = jnp.zeros((H, W, 3), jnp.float32)
+    odd = jnp.zeros((H, W, 3), jnp.float32)
+    jfn = jax.jit(render_pass)
+    for s in range(base_spp):
+        img = jfn(scene, jnp.int32(s))
+        if s % 2 == 0:
+            even = even + img
+        else:
+            odd = odd + img
+        if progress:
+            progress(s, even + odd)
+    film = even + odd
+    counts = np.full((H, W), base_spp, np.float32)
+    if extra_spp <= 0:
+        return film, jnp.asarray(counts)
+
+    ne, no = (base_spp + 1) // 2, base_spp // 2
+    me = np.asarray(even) / max(ne, 1)
+    mo = np.asarray(odd) / max(no, 1)
+    err = np.abs(me - mo).sum(-1) / np.maximum(
+        (me + mo).sum(-1), 1e-3)  # relative twin-buffer error
+    th, tw = H // tile, W // tile
+    tile_err = err[:th * tile, :tw * tile].reshape(th, tile, tw, tile) \
+        .mean((1, 3))
+    clamp = np.quantile(tile_err, quantile)
+    tile_err = np.minimum(tile_err, clamp)
+    sel = tile_err > 0.5 * clamp
+    # dilate one tile (PathTraceIntegrator error dilation)
+    sel = (sel | np.roll(sel, 1, 0) | np.roll(sel, -1, 0)
+           | np.roll(sel, 1, 1) | np.roll(sel, -1, 1))
+    mask = np.zeros((H, W), bool)
+    mask[:th * tile, :tw * tile] = np.repeat(
+        np.repeat(sel, tile, 0), tile, 1)
+    ys, xs = np.nonzero(mask)
+    if len(xs) == 0:
+        return film, jnp.asarray(counts)
+    pad = (-len(xs)) % 1024
+    px = np.concatenate([xs, np.zeros(pad, np.int64)]).astype(np.int32)
+    py = np.concatenate([ys, np.zeros(pad, np.int64)]).astype(np.int32)
+    valid = np.concatenate([np.ones(len(xs)), np.zeros(pad)]) > 0
+
+    tfn = jax.jit(lambda sc, x, y, s: trace(sc, x, y, s))
+    add = np.zeros((H, W, 3), np.float32)
+    for s in range(base_spp, base_spp + extra_spp):
+        c = np.asarray(tfn(scene, jnp.asarray(px), jnp.asarray(py),
+                           jnp.int32(s)))
+        np.add.at(add, (py[valid], px[valid]), c[valid])
+        if progress:
+            progress(s, film)
+    counts[ys, xs] += extra_spp
+    return film + jnp.asarray(add), jnp.asarray(counts)
+
+
+def dump_pixel(scene, px, py, spp=0, n=512):
+    """--data-dump-pixel: SDF values along the primary ray as JSON-ready
+    dict (RendererSettings.hpp:141-158, DumpData Medium.hpp:22-36)."""
+    from .models import media as md
+    cam = scene.camera
+    pxa = jnp.asarray([px], jnp.int32)
+    pya = jnp.asarray([py], jnp.int32)
+    ro, rd = cam.sample_ray(pxa, pya, jnp.full((1, 2), 0.5))
+    if not scene.media:
+        return {"t": [], "f": []}
+    medium = scene.media[scene.cam_medium if scene.cam_medium >= 0 else 0]
+    state = md.MediumState.make(1)
+    pss = jnp.asarray([[px, py, spp, 0]], jnp.uint32)
+    value_at = md.make_value_at(medium, scene.scene_seed, ro, rd,
+                                jnp.zeros(1), state, pss)
+    ts = jnp.linspace(0.0, 4.0, n)
+    fs = []
+    for t in np.asarray(ts):
+        f, _ = value_at(jnp.full(1, t, jnp.float32))
+        fs.append(float(f[0]))
+    return {"t": [float(t) for t in np.asarray(ts)], "f": fs}
 
 
 def main(argv=None):
@@ -62,6 +157,17 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--sharded", action="store_true",
                     help="shard pixels over all local devices")
+    ap.add_argument("--aovs", action="store_true",
+                    help="also write depth/normal/albedo/visibility buffers")
+    ap.add_argument("--tonemap", default="gamma",
+                    choices=["linear", "gamma", "reinhard", "filmic"])
+    ap.add_argument("--sampler", default=None,
+                    choices=["independent", "sobol"],
+                    help="overrides the scene's sampler_type")
+    ap.add_argument("--adaptive", type=int, default=0, metavar="EXTRA_SPP",
+                    help="extra adaptive samples for high-variance tiles")
+    ap.add_argument("--data-dump-pixel", default=None, metavar="X,Y",
+                    help="dump SDF values along the primary ray to JSON")
     args = ap.parse_args(argv)
 
     scene, rdoc = load_scene(args.scene, seed=args.seed)
@@ -95,12 +201,53 @@ def main(argv=None):
             np.savez(ckpt_path, film=np.asarray(f), spp=s + 1,
                      scene_hash=shash)
 
-    film = render(scene, spp, spp_start=spp_start, film=film,
-                  progress=progress, sharded=args.sharded)
-    img = np.asarray(film) / done[0]
-    write_png(out, img)
+    sampler = args.sampler or rdoc.get("sampler_type", "independent")
+    if sampler not in ("independent", "sobol"):
+        sampler = "sobol"  # reference default sampler is Sobol
+
+    if args.data_dump_pixel:
+        dx, dy = (int(v) for v in args.data_dump_pixel.split(","))
+        data = dump_pixel(scene, dx, dy)
+        dump_path = os.path.splitext(out)[0] + f".dump_{dx}_{dy}.json"
+        with open(dump_path, "w") as f:
+            json.dump(data, f)
+        print(f"wrote {dump_path}")
+        return
+
+    if args.adaptive > 0 and spp_start == 0:
+        film, cnt = render_adaptive(scene, spp, args.adaptive,
+                                    progress=progress, sampler=sampler)
+        img = np.asarray(film) / np.asarray(cnt)[..., None]
+    else:
+        film = render(scene, spp, spp_start=spp_start, film=film,
+                      progress=progress, sharded=args.sharded,
+                      sampler=sampler)
+        img = np.asarray(film) / done[0]
+    write_png(out, img, tonemap=True, curve=args.tonemap)
     write_pfm(os.path.splitext(out)[0] + ".pfm", img)
     print(f"wrote {out}")
+
+    if args.aovs:
+        from .models.integrator import render_aovs
+        n_aov = min(8, spp)
+        f = jax.jit(render_aovs)
+        acc = None
+        for s in range(n_aov):
+            _, a = f(scene, jnp.int32(s))
+            a = {k: np.asarray(v) for k, v in a.items()}
+            acc = a if acc is None else {k: acc[k] + a[k] for k in a}
+        base = os.path.splitext(out)[0]
+        for k, v in acc.items():
+            v = v / n_aov
+            if v.ndim == 2:
+                v = np.repeat(v[..., None], 3, axis=-1)
+            if k == "depth":
+                v = v / max(v.max(), 1e-6)
+            if k == "normal":
+                v = v * 0.5 + 0.5
+            write_pfm(f"{base}.{k}.pfm", v.astype(np.float32))
+            write_png(f"{base}.{k}.png", v, tonemap=(k == "albedo"))
+        print(f"wrote AOVs {base}.{{depth,normal,albedo,visibility}}")
 
 
 if __name__ == "__main__":

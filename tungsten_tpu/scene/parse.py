@@ -182,7 +182,7 @@ def parse_bsdf(b: dict) -> dict:
 # GP factory (math/GaussianProcessFactory.cpp:8-52)
 # ---------------------------------------------------------------------------
 
-def parse_mean(m: dict):
+def parse_mean(m: dict, base_dir="."):
     t = m.get("type", "homogeneous")
     if t == "homogeneous":
         return HomogeneousMean.create(offset=m.get("offset", 0.0))
@@ -202,6 +202,29 @@ def parse_mean(m: dict):
                                      offset=m.get("offset", 0.0),
                                      scale=m.get("scale", 1.0),
                                      min_value=m.get("min", -3.0e38))
+    if t == "mesh":
+        # MeshSdfMean (GPFunctions.cpp:298-460): bake the mesh SDF to a
+        # dense grid at load, serve it as a TabulatedMean (SURVEY.md §7)
+        from ..io.meshio import load_mesh
+        from ..ops.mesh_sdf import bake_mesh_sdf
+        from ..ops.means import TabulatedMean
+        mesh = load_mesh(os.path.join(base_dir, m["file"]))
+        tf = parse_transform(m.get("transform"))
+        pos = (np.asarray(mesh["pos"], np.float32) @ tf[:3, :3].T
+               + tf[:3, 3][None, :])
+        grid, bmin, bmax = bake_mesh_sdf(pos, mesh["tris"],
+                                         res=int(m.get("grid_res", 64)),
+                                         signed=bool(m.get("signed", True)))
+        return TabulatedMean.create(grid, bmin, bmax,
+                                    offset=m.get("offset", 0.0),
+                                    scale=m.get("scale", 1.0))
+    if t == "tabulated" or t == "grid":
+        from ..ops.means import TabulatedMean
+        g = m.get("grid", {})
+        return TabulatedMean.create(
+            np.asarray(g.get("data"), np.float32),
+            g.get("bounds_min", (0, 0, 0)), g.get("bounds_max", (1, 1, 1)),
+            offset=m.get("offset", 0.0), scale=m.get("scale", 1.0))
     raise ValueError(f"mean type {t!r} not supported yet")
 
 
@@ -234,14 +257,14 @@ def parse_cov(c: dict):
     raise ValueError(f"covariance type {t!r} not supported yet")
 
 
-def parse_gp(g: dict) -> sc.GP:
+def parse_gp(g: dict, base_dir=".") -> sc.GP:
     t = g.get("type", "standard")
     if t == "csg":
-        left = parse_gp(g["left"])
-        right = parse_gp(g["right"])
+        left = parse_gp(g["left"], base_dir)
+        right = parse_gp(g["right"], base_dir)
         return sc.GP(mean=left.mean, cov=left.cov,
                      mean_additional=right.mean)
-    mean = parse_mean(g.get("mean", {}))
+    mean = parse_mean(g.get("mean", {}), base_dir)
     cov = parse_cov(g.get("covariance", {}))
     return sc.GP(mean=mean, cov=cov)
 
@@ -257,17 +280,21 @@ _SCHEME = {"uni": sc.SCHEME_UNI, "nee": sc.SCHEME_NEE, "mis": sc.SCHEME_MIS,
            "UNI": sc.SCHEME_UNI, "NEE": sc.SCHEME_NEE, "MIS": sc.SCHEME_MIS}
 
 
-def parse_medium(m: dict, bsdf_names: dict) -> md.Medium:
+def parse_medium(m: dict, bsdf_names: dict, base_dir=".") -> md.Medium:
     t = m.get("type", "sparse_conv_noise")
     kind = {"sparse_conv_noise": md.GPIS_SPARSE_CONV,
             "weight_space_gaussian_process": md.GPIS_WEIGHT_SPACE,
             "function_space_gaussian_process": md.GPIS_FUNCTION_SPACE,
             "gaussian_process": md.GPIS_FUNCTION_SPACE,
-            "homogeneous": md.MEDIUM_HOMOGENEOUS}.get(t)
+            "homogeneous": md.MEDIUM_HOMOGENEOUS,
+            "exponential": md.MEDIUM_EXPONENTIAL,
+            "atmosphere": md.MEDIUM_ATMOSPHERIC,
+            "atmospheric": md.MEDIUM_ATMOSPHERIC,
+            "voxel": md.MEDIUM_VOXEL}.get(t)
     if kind is None:
         raise ValueError(f"medium type {t!r} not supported yet")
 
-    gp = parse_gp(m.get("gaussian_process", {}))
+    gp = parse_gp(m.get("gaussian_process", {}), base_dir)
     cfg = sc.SparseConvConfig.create(
         global_seed=m.get("seed", 0),
         impulse_density=m.get("impulse_density", 3.0),
@@ -298,18 +325,84 @@ def parse_medium(m: dict, bsdf_names: dict) -> md.Medium:
             phase_kind = ph.PHASE_HG
             hg_g = pf.get("g", 0.0)
 
+    law = parse_transmittance(m.get("transmittance"))
+    field_params, grid = None, None
+    if kind == md.MEDIUM_EXPONENTIAL:
+        up = np.asarray(m.get("falloff_direction", (0, 1, 0)), np.float32)
+        up = up / max(np.linalg.norm(up), 1e-9)
+        p0 = np.asarray(m.get("unit_point", (0, 0, 0)), np.float32)
+        field_params = jnp.asarray(np.concatenate(
+            [up, [float(m.get("falloff_scale", 1.0))], p0, [0.0]]
+        ).astype(np.float32))
+    elif kind == md.MEDIUM_ATMOSPHERIC:
+        c = np.asarray(m.get("center", (0, 0, 0)), np.float32)
+        field_params = jnp.asarray(np.concatenate(
+            [c, [float(m.get("radius", 1.0)),
+                 float(m.get("scale_height", m.get("falloff_scale", 0.25))),
+                 0.0, 0.0, 0.0]]).astype(np.float32))
+    elif kind == md.MEDIUM_VOXEL:
+        g = m.get("grid")
+        if isinstance(g, dict) and "data" in g:
+            grid = jnp.asarray(np.asarray(g["data"], np.float32))
+            bmin = np.asarray(g.get("bounds_min", (0, 0, 0)), np.float32)
+            bsize = np.asarray(g.get("bounds_size", (1, 1, 1)), np.float32)
+        else:
+            grid = jnp.ones((2, 2, 2), jnp.float32)
+            bmin = np.zeros(3, np.float32)
+            bsize = np.ones(3, np.float32)
+        field_params = jnp.asarray(np.concatenate(
+            [bmin, [0.0], bsize, [0.0]]).astype(np.float32))
+
     return md.Medium(
         sigma_a=jnp.asarray(_rgb(m.get("sigma_a"), (0, 0, 0))),
         sigma_s=jnp.asarray(_rgb(m.get("sigma_s"), (1, 1, 1))),
         density=jnp.float32(m.get("density", 1.0)),
         step_size=jnp.float32(m.get("step_size", 0.01)),
         cfg=cfg, gp=gp, hg_g=jnp.float32(hg_g),
+        law=law, field_params=field_params, grid=grid,
         kind=kind,
         min_step=int(m.get("min_step", 8)),
         normal_method=m.get("normal_method", "conditioned_gaussian"),
         sample_points=int(m.get("sample_points", 32)),
         basis_functions=int(m.get("basis_functions", 300)),
         phase_kind=phase_kind, phase_bsdf=phase_bsdf)
+
+
+def parse_transmittance(tdoc):
+    """Transmittance-law factory (TransmittanceFactory.cpp:16-31)."""
+    if tdoc is None:
+        return None
+    from ..models import transmittance as tr
+    tt = tdoc.get("type", "exponential")
+    if tt == "exponential":
+        return tr.make_law(tr.T_EXPONENTIAL,
+                           params=(tdoc.get("sigma", 1.0), 0, 0, 0))
+    if tt == "erlang":
+        return tr.make_law(tr.T_ERLANG,
+                           params=(tdoc.get("lambda", 2.0), 0, 0, 0))
+    if tt == "davis":
+        return tr.make_law(tr.T_DAVIS,
+                           params=(tdoc.get("alpha", 1.0), 0, 0, 0))
+    if tt == "double_exponential":
+        return tr.make_law(tr.T_DOUBLE_EXP,
+                           params=(tdoc.get("sigma_a", 0.5),
+                                   tdoc.get("sigma_b", 2.0), 0, 0))
+    if tt == "linear":
+        return tr.make_law(tr.T_LINEAR,
+                           params=(tdoc.get("max_t", 2.0), 0, 0, 0))
+    if tt == "quadratic":
+        return tr.make_law(tr.T_QUADRATIC,
+                           params=(tdoc.get("max_t", 2.0), 0, 0, 0))
+    if tt == "pulse":
+        return tr.make_law(tr.T_PULSE,
+                           params=(tdoc.get("min", 0.5), tdoc.get("max", 1.5),
+                                   tdoc.get("num_pulses", 1), 0))
+    if tt in ("tabulated", "gaussian_process"):
+        return tr.make_law(tr.T_TABULATED, params=(0, 0, 0, 0),
+                           ts=tdoc.get("ts"), pp=tdoc.get("pp"),
+                           pf=tdoc.get("pf"), fp=tdoc.get("fp"),
+                           ff=tdoc.get("ff"))
+    raise ValueError(f"transmittance type {tt!r} not supported")
 
 
 # ---------------------------------------------------------------------------
@@ -388,7 +481,7 @@ def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
     media = []
     for m in media_docs:
         medium_names[m.get("name", f"medium{len(media)}")] = len(media)
-        media.append(parse_medium(m, bsdf_names))
+        media.append(parse_medium(m, bsdf_names, base_dir))
 
     def medium_index(ref):
         if ref is None:
@@ -433,7 +526,8 @@ def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
         fov_deg=cam_doc.get("fov", 60.0), res=res,
         kind=cam_doc.get("type", "pinhole"),
         aperture=cam_doc.get("aperture_size", 0.0),
-        focus_dist=cam_doc.get("focus_distance", 1.0))
+        focus_dist=cam_doc.get("focus_distance", 1.0),
+        filter_kind=cam_doc.get("reconstruction_filter", "box"))
     cam_medium = medium_index(cam_doc.get("medium"))
 
     soa = pr.build_soa(prims)

@@ -77,11 +77,11 @@ def frame_to_world(t, b, n, v):
 
 def mat3_vec(m, v):
     """[...,3,3] @ [...,3] -> [...,3]."""
-    return jnp.einsum("...ij,...j->...i", m, v)
+    return jnp.einsum("...ij,...j->...i", m, v, precision="highest")
 
 
 def mat3_t_vec(m, v):
-    return jnp.einsum("...ji,...j->...i", m, v)
+    return jnp.einsum("...ji,...j->...i", m, v, precision="highest")
 
 
 def outer3(a, b):
