@@ -1,0 +1,70 @@
+"""Global mesh-point-set conditioning: the conditioned GP must reproduce the
+observations (value 0 at vertices, derivative 1 along normals) and shrink
+variance near them."""
+import jax.numpy as jnp
+import numpy as np
+
+from tungsten_tpu.io.meshio import make_sphere
+from tungsten_tpu.ops import gp as gpmod
+from tungsten_tpu.ops import sparse_conv as sc
+from tungsten_tpu.ops.covariance import SquaredExponentialCov
+from tungsten_tpu.ops.means import HomogeneousMean
+
+
+def _build(n_pts=24):
+    m = make_sphere(radius=0.8, subdiv=6)
+    pos = np.asarray(m["pos"], np.float32)
+    nrm = np.asarray(m["normal"], np.float32)
+    pos_u, idx = np.unique(pos.round(5), axis=0, return_index=True)
+    sel = np.random.default_rng(0).choice(len(pos_u),
+                                          min(n_pts, len(pos_u)),
+                                          replace=False)
+    pos_u = pos_u[sel]
+    nrm_u = nrm[idx][sel]
+    nrm_u /= np.maximum(np.linalg.norm(nrm_u, -1, keepdims=True), 1e-9)
+
+    gp0 = sc.GP(mean=HomogeneousMean.create(offset=0.5),
+                cov=SquaredExponentialCov.create(sigma=1.0, l=0.5))
+    cov_fn = gpmod.make_cov_fn(gp0)
+    gc = gpmod.build_global_cond(gp0, cov_fn, jnp.asarray(pos_u),
+                                 jnp.asarray(nrm_u))
+    gp = sc.GP(mean=gp0.mean, cov=gp0.cov, global_cond=gc)
+    return gp, cov_fn, pos_u, nrm_u
+
+
+def test_conditioned_mean_matches_observations():
+    gp, cov_fn, pos, nrm = _build()
+    pts = jnp.asarray(pos[:8])
+    dts = jnp.zeros(8, jnp.int32)
+    dirs = jnp.asarray(nrm[:8])
+    m, K, _ = gpmod.mean_cov_gc(gp, cov_fn, pts, dts, dirs)
+    # value observations: conditioned mean ~ 0 at the vertices (tolerance
+    # matches the reference's embedded sanity checks, 1e-2)
+    np.testing.assert_allclose(np.asarray(m), 0.0, atol=2e-2)
+    # conditioned variance collapses at observation sites
+    assert float(jnp.max(jnp.diag(K))) < 5e-2
+
+    # derivative observations reproduce 1 along the normal
+    dts1 = jnp.ones(8, jnp.int32)
+    m1, _, _ = gpmod.mean_cov_gc(gp, cov_fn, pts, dts1, dirs)
+    np.testing.assert_allclose(np.asarray(m1), 1.0, atol=5e-2)
+
+
+def test_conditioning_shrinks_variance_nearby():
+    gp, cov_fn, pos, _ = _build()
+    q = jnp.asarray([pos[0] * 1.02])  # just off the surface point
+    dts = jnp.zeros(1, jnp.int32)
+    dirs = jnp.zeros((1, 3))
+    _, K_c, _ = gpmod.mean_cov_gc(gp, cov_fn, q, dts, dirs)
+    gp_free = sc.GP(mean=gp.mean, cov=gp.cov)
+    _, K_f, _ = gpmod.mean_cov_gc(gp_free, cov_fn, q, dts, dirs)
+    assert float(K_c[0, 0]) < 0.3 * float(K_f[0, 0])
+
+
+def test_prior_mvn_uses_global_cond():
+    gp, cov_fn, pos, _ = _build()
+    pts = jnp.asarray(pos[:4])
+    m, sq, _ = gpmod.prior_mvn(gp, cov_fn, pts, jnp.zeros(4, jnp.int32),
+                               jnp.zeros((4, 3)))
+    np.testing.assert_allclose(np.asarray(m), 0.0, atol=2e-2)
+    assert float(jnp.max(jnp.abs(sq))) < 0.3

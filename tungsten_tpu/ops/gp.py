@@ -95,27 +95,91 @@ def pseudo_inverse(a, eps_scale=1e-6):
     return (v * w_inv[None, :]) @ v.T
 
 
+from ..utils.pytree import struct as _struct
+
+
+@_struct
+class GlobalCond:
+    """Precomputed global conditioning on a mesh point set
+    (GaussianProcess::setConditioning, GaussianProcess.cpp:243-312):
+    each unique vertex gives (value=0) and (normal-derivative=1) rows."""
+    pts: jnp.ndarray      # [M,3]
+    dts: jnp.ndarray      # [M]
+    dirs: jnp.ndarray     # [M,3]
+    values: jnp.ndarray   # [M]
+    alpha: jnp.ndarray    # [M]   K11^+ (y - m1)
+    k11_pinv: jnp.ndarray  # [M,M]
+
+
+def build_global_cond(gp, cov_fn, verts, normals):
+    """verts [V,3], normals [V,3] -> GlobalCond (loadResources,
+    GaussianProcess.cpp:217-239: one None row value 0 + one First row
+    value 1 per vertex)."""
+    V = verts.shape[0]
+    pts = jnp.concatenate([verts, verts])
+    dts = jnp.concatenate([jnp.full(V, D_NONE, jnp.int32),
+                           jnp.full(V, D_FIRST, jnp.int32)])
+    dirs = jnp.concatenate([normals, normals])
+    values = jnp.concatenate([jnp.zeros(V), jnp.ones(V)])
+    k11 = cov_matrix(cov_fn, pts, dts, dirs, pts, dts, dirs)
+    k11_pinv = pseudo_inverse(0.5 * (k11 + k11.T))
+    m1, _ = mean_vector(gp, pts, dts, dirs)
+    alpha = k11_pinv @ (values - m1)
+    return GlobalCond(pts=pts, dts=dts, dirs=dirs, values=values,
+                      alpha=alpha, k11_pinv=k11_pinv)
+
+
+def _gc_cross(cov_fn, gc, pts, dts, dirs):
+    return cov_matrix(cov_fn, gc.pts, gc.dts, gc.dirs, pts, dts, dirs)
+
+
+def mean_cov_gc(gp, cov_fn, pts, dts, dirs):
+    """Global-conditioned mean vector + covariance matrix for a query set
+    (the GP every downstream consumer sees when conditioning data exists)."""
+    m, ids = mean_vector(gp, pts, dts, dirs)
+    K = cov_matrix(cov_fn, pts, dts, dirs, pts, dts, dirs)
+    gc = gp.global_cond
+    if gc is not None:
+        k1x = _gc_cross(cov_fn, gc, pts, dts, dirs)  # [M,N]
+        m = m + k1x.T @ gc.alpha
+        K = K - k1x.T @ (gc.k11_pinv @ k1x)
+    return m, K, ids
+
+
 def conditional_mvn(gp, cov_fn, pts, dts, dirs, cond_pts, cond_dts, cond_dirs,
                     cond_vals):
     """Schur-complement conditioning (create_mvn_cond,
-    GaussianProcess.cpp:664-753).  Returns (mean, cov_sqrt, ids)."""
-    s11 = cov_matrix(cov_fn, cond_pts, cond_dts, cond_dirs,
-                     cond_pts, cond_dts, cond_dirs)
-    s12 = cov_matrix(cov_fn, cond_pts, cond_dts, cond_dirs, pts, dts, dirs)
+    GaussianProcess.cpp:664-753) on the (globally conditioned) GP.
+    Returns (mean, cov_sqrt, ids)."""
+    gc = gp.global_cond
+    if gc is None:
+        s11 = cov_matrix(cov_fn, cond_pts, cond_dts, cond_dirs,
+                         cond_pts, cond_dts, cond_dirs)
+        s12 = cov_matrix(cov_fn, cond_pts, cond_dts, cond_dirs,
+                         pts, dts, dirs)
+        m2, ids = mean_vector(gp, pts, dts, dirs)
+        m1, _ = mean_vector(gp, cond_pts, cond_dts, cond_dirs)
+        s22 = cov_matrix(cov_fn, pts, dts, dirs, pts, dts, dirs)
+    else:
+        all_pts = jnp.concatenate([cond_pts, pts])
+        all_dts = jnp.concatenate([cond_dts, dts])
+        all_dirs = jnp.concatenate([cond_dirs, dirs])
+        m_all, K_all, ids_all = mean_cov_gc(gp, cov_fn, all_pts, all_dts,
+                                            all_dirs)
+        nc = cond_pts.shape[0]
+        s11 = K_all[:nc, :nc]
+        s12 = K_all[:nc, nc:]
+        s22 = K_all[nc:, nc:]
+        m1, m2 = m_all[:nc], m_all[nc:]
+        ids = ids_all[nc:]
     solved = (pseudo_inverse(s11) @ s12).T  # [N, Nc]
-
-    m2, ids = mean_vector(gp, pts, dts, dirs)
-    m1, _ = mean_vector(gp, cond_pts, cond_dts, cond_dirs)
     mean = m2 + solved @ (cond_vals - m1)
-
-    s22 = cov_matrix(cov_fn, pts, dts, dirs, pts, dts, dirs)
     s2 = s22 - solved @ s12
     return mean, _sqrt_psd(0.5 * (s2 + s2.T)), ids
 
 
 def prior_mvn(gp, cov_fn, pts, dts, dirs):
-    m, ids = mean_vector(gp, pts, dts, dirs)
-    s = cov_matrix(cov_fn, pts, dts, dirs, pts, dts, dirs)
+    m, s, ids = mean_cov_gc(gp, cov_fn, pts, dts, dirs)
     return m, _sqrt_psd(0.5 * (s + s.T)), ids
 
 
@@ -143,8 +207,14 @@ def sample_truncated_normal(mean, sigma, a, key, ctr):
 def gp_cdf(gp, cov_fn, p):
     """P(f(p) < 0) — free-flight skip criterion (GaussianProcess.cpp:776-782)."""
     from jax.scipy.special import erf
-    var = cov_fn(p, p)
-    m, _ = gp.mean_and_id(p)
+    if gp.global_cond is not None:
+        mv, K, _ = mean_cov_gc(gp, cov_fn, p[None],
+                               jnp.zeros(1, jnp.int32),
+                               jnp.zeros((1, 3)))
+        m, var = mv[0], K[0, 0]
+    else:
+        var = cov_fn(p, p)
+        m, _ = gp.mean_and_id(p)
     return 0.5 * (1.0 + erf((0.0 - m) / jnp.sqrt(jnp.maximum(var, 1e-20))
                             / jnp.sqrt(2.0)))
 

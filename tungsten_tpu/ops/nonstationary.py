@@ -20,6 +20,7 @@ the reference's rotation-field anisotropy is future work here as there too).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -211,3 +212,156 @@ class ProceduralNonstationaryCov:
         if p is None:
             return s
         return s / self.ls_field(p)
+
+
+# ---------------------------------------------------------------------------
+# Mean-gradient-driven anisotropic nonstationarity
+# (MeanGradNonstationaryCovariance, GPFunctions.hpp:2338-2364, impl
+# GPFunctions.cpp:1811-1912): per-point covariance matrices oriented along
+# the mean gradient; full anisotropic Paciorek form for function/weight
+# space.  Sparse-conv splatting is intentionally unsupported (the paper's
+# configs use it with the exact backends).
+# ---------------------------------------------------------------------------
+
+def _aniso_from_normal(n, aniso):
+    """compute_ansio_simplified: Sigma = F diag(aniso) F^T with the first
+    axis along the (normalized) mean gradient."""
+    from ..utils.vecmath import safe_normalize, tangent_frame
+    n = safe_normalize(n)
+    t, b = tangent_frame(n)
+    F = jnp.stack([n, t, b], axis=-1)  # columns
+    return F @ jnp.diag(aniso) @ F.T
+
+
+@struct
+class MeanGradNonstationaryCov:
+    base: object          # stationary covariance
+    mean: object          # MeanFunction (grad() drives the frame)
+    aniso: jnp.ndarray    # [3] eigenvalues along (grad, t, b)
+
+    is_stationary = False
+    is_nonstationary_aniso = True
+    use_multi_res_grid = False
+    has_analytic_spectral_density = False
+
+    @staticmethod
+    def create(base, mean, aniso=(1.0, 1.0, 1.0)):
+        return MeanGradNonstationaryCov(
+            base=base, mean=mean,
+            aniso=jnp.asarray(np.asarray(aniso, np.float32)))
+
+    def local_aniso(self, p):
+        return _aniso_from_normal(self.mean.grad(p), self.aniso)
+
+    def cov(self, pa, pb):
+        A = self.local_aniso(pa)
+        B = self.local_aniso(pb)
+        avg = 0.5 * (A + B)
+        det_a = jnp.linalg.det(A)
+        det_b = jnp.linalg.det(B)
+        det_avg = jnp.maximum(jnp.linalg.det(avg), 1e-20)
+        aniso_fac = (jnp.maximum(det_a * det_b, 1e-20) ** 0.25
+                     / jnp.sqrt(det_avg))
+        d = pa - pb
+        dsq = d @ jnp.linalg.solve(avg, d)
+        return aniso_fac * self.base.cov_r2(dsq)
+
+    def amplitude(self, p):
+        return self.base.amplitude(p)
+
+    def unscaled_variance(self, p):
+        return jnp.ones(p.shape[:-1], jnp.float32)
+
+    def variance(self, p):
+        return self.base.variance(p)
+
+    def compute_beckmann_roughness(self, p):
+        return self.base.compute_beckmann_roughness(p)
+
+    def sample_spectral_3d(self, key, ctr, p=None):
+        s = self.base.sample_spectral_3d(key, ctr, None)
+        if p is None:
+            return s
+        # warp the stationary frequency by the local aniso^{-1/2}
+        A = self.local_aniso(p)
+        evals, evecs = jnp.linalg.eigh(A)
+        w = evecs @ (s / jnp.sqrt(jnp.maximum(evals, 1e-9)))
+        return w
+
+
+# ---------------------------------------------------------------------------
+# Neural nonstationary covariance (NeuralNonstationaryCovariance,
+# GPFunctions.hpp:2412-2443, impl GPFunctions.cpp:1914-1961): a tiny MLP
+# produces per-point (sigma, lengthscale); Paciorek form on top.
+# ---------------------------------------------------------------------------
+
+@struct
+class NeuralNonstationaryCov:
+    base: object
+    weights: tuple  # ((W,b), ...) -> outputs [sigma, ls]
+    transform: jnp.ndarray
+
+    is_stationary = False
+    is_nonstationary_aniso = False
+    use_multi_res_grid = False
+    has_analytic_spectral_density = False
+
+    @staticmethod
+    def create(base, weights, transform=None):
+        tf = (jnp.eye(4, dtype=jnp.float32) if transform is None
+              else jnp.asarray(transform, jnp.float32))
+        return NeuralNonstationaryCov(
+            base=base,
+            weights=tuple((jnp.asarray(w, jnp.float32),
+                           jnp.asarray(b, jnp.float32)) for w, b in weights),
+            transform=tf)
+
+    def _mlp(self, p):
+        ph = jnp.concatenate([p, jnp.ones(p.shape[:-1] + (1,), p.dtype)],
+                             axis=-1)
+        h = jnp.einsum("ij,...j->...i", self.transform, ph,
+                       precision="highest")[..., :3]
+        n = len(self.weights)
+        for i, (w, b) in enumerate(self.weights):
+            h = jnp.einsum("...i,io->...o", h, w, precision="highest") + b
+            if i < n - 1:
+                h = jnp.sin(h)
+        # PSD projection: softplus keeps sigma/ls positive
+        return jax.nn.softplus(h)
+
+    def sigma_ls(self, p):
+        out = self._mlp(p)
+        return out[..., 0], out[..., 1]
+
+    def cov(self, pa, pb):
+        sa, la = self.sigma_ls(pa)
+        sb, lb = self.sigma_ls(pb)
+        a2, b2 = la * la, lb * lb
+        avg = 0.5 * (a2 + b2)
+        aniso_fac = (a2 * b2) ** 0.75 / jnp.maximum(avg, 1e-12) ** 1.5
+        d = pa - pb
+        dsq = dot(d, d) / jnp.maximum(avg, 1e-12)
+        return sa * sb * aniso_fac * self.base.cov_r2(dsq)
+
+    def amplitude(self, p):
+        s, _ = self.sigma_ls(p)
+        return s * self.base.amplitude(p)
+
+    def unscaled_variance(self, p):
+        s, _ = self.sigma_ls(p)
+        return s
+
+    def variance(self, p):
+        s, _ = self.sigma_ls(p)
+        return s * s * self.base.variance(p)
+
+    def compute_beckmann_roughness(self, p):
+        s, _ = self.sigma_ls(p)
+        return self.base.compute_beckmann_roughness(p) * s
+
+    def sample_spectral_3d(self, key, ctr, p=None):
+        s = self.base.sample_spectral_3d(key, ctr, None)
+        if p is None:
+            return s
+        _, ls = self.sigma_ls(p)
+        return s / ls

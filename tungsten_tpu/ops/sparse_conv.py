@@ -50,10 +50,13 @@ _CELL_OFFSETS_3D = np.array(
 @struct
 class GP:
     """mean + covariance (+ optional CSG "additional mean" with its id)
-    (GaussianProcess.hpp:240-385; additional-mean min at GaussianProcess.cpp:379-393)."""
+    (GaussianProcess.hpp:240-385; additional-mean min at GaussianProcess.cpp:379-393).
+    global_cond: precomputed mesh-point-set conditioning
+    (setConditioning, GaussianProcess.cpp:243-312)."""
     mean: object
     cov: object
     mean_additional: object = None
+    global_cond: object = None
 
     def mean_and_id(self, p):
         return mean_and_id(self.mean, self.mean_additional, p)

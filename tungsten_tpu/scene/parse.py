@@ -254,6 +254,76 @@ def parse_cov(c: dict):
             var_field=parse_field(c.get("var")),
             ls_field=parse_field(c.get("ls")),
             use_multi_res_grid=bool(c.get("multiResolutionGrid", False)))
+    if t == "nonstationary":
+        # GridNonstationaryCovariance (GPFunctions.cpp:1338-1544): grid-backed
+        # variance/aniso fields wrapping a stationary kernel.  VDB grids are
+        # ingested as dense arrays (JSON-embedded or .npy/.npz).
+        from ..ops.fields import Field
+        from ..ops.nonstationary import ProceduralNonstationaryCov
+        base = parse_cov(c.get("cov", {"type": "squared_exponential"}))
+        gdoc = c.get("grid", c.get("variance"))
+        offset = float(c.get("offset", 0.0))
+        scale = float(c.get("scale", 1.0))
+        var_field = None
+        if isinstance(gdoc, dict) and "data" in gdoc:
+            data = np.asarray(gdoc["data"], np.float32) * scale + offset
+            var_field = Field.regular_grid(
+                data, gdoc.get("bounds_min", (0, 0, 0)),
+                gdoc.get("bounds_max", (1, 1, 1)))
+        elif isinstance(gdoc, str):
+            arr = np.load(gdoc if os.path.isabs(gdoc)
+                          else os.path.join(c.get("__dir__", "."), gdoc))
+            if hasattr(arr, "files"):
+                data = arr["data"] * scale + offset
+                bmin = arr.get("bounds_min", np.zeros(3))
+                bmax = arr.get("bounds_max", np.ones(3))
+            else:
+                data = arr * scale + offset
+                bmin, bmax = np.zeros(3), np.ones(3)
+            var_field = Field.regular_grid(data, bmin, bmax)
+        ls_doc = c.get("ls")
+        from ..ops.fields import parse_field
+        return ProceduralNonstationaryCov.create(
+            base=base, var_field=var_field, ls_field=parse_field(ls_doc),
+            use_multi_res_grid=bool(c.get("multiResolutionGrid", False)))
+    if t == "mg_nonstationary":
+        from ..ops.nonstationary import MeanGradNonstationaryCov
+        base = parse_cov(c.get("cov", {"type": "squared_exponential"}))
+        mean = parse_mean(c.get("mean", {}))
+        return MeanGradNonstationaryCov.create(
+            base=base, mean=mean, aniso=c.get("aniso", (1.0, 1.0, 1.0)))
+    if t == "neural_nonstationary":
+        from ..ops.nonstationary import NeuralNonstationaryCov
+        base = parse_cov(c.get("cov", {"type": "squared_exponential"}))
+        wdoc = c.get("network", {}).get("layers", [])
+        weights = [(np.asarray(L["w"], np.float32),
+                    np.asarray(L["b"], np.float32)) for L in wdoc]
+        return NeuralNonstationaryCov.create(base=base, weights=weights)
+    if t == "gabor_aniso":
+        from ..ops.covariance import GaborAnisoCov
+        return GaborAnisoCov.create(sigma=c.get("sigma", 1.0),
+                                    a_inv=c.get("a_inv", 1.0),
+                                    f_inv=c.get("f_inv", 1.0),
+                                    omega=c.get("omega", (1, 0, 0)),
+                                    kernel_scale=ks)
+    if t == "gabor_iso":
+        from ..ops.covariance import GaborIsoCov
+        return GaborIsoCov.create(sigma=c.get("sigma", 1.0),
+                                  a_inv=c.get("a_inv", 1.0),
+                                  f_inv=c.get("f_inv", 1.0), kernel_scale=ks)
+    if t == "periodic":
+        from ..ops.covariance import PeriodicCov
+        return PeriodicCov.create(sigma=c.get("sigma", 1.0),
+                                  l=c.get("lengthScale", 1.0),
+                                  period=c.get("period", 1.0))
+    if t == "thin_plate":
+        from ..ops.covariance import ThinPlateCov
+        return ThinPlateCov.create(sigma=c.get("sigma", 1.0),
+                                   R=c.get("R", 1.0))
+    if t == "dot_product":
+        from ..ops.covariance import DotProductCov
+        return DotProductCov.create(sigma=c.get("sigma", 1.0),
+                                    c=c.get("c", 1.0))
     raise ValueError(f"covariance type {t!r} not supported yet")
 
 
@@ -266,7 +336,27 @@ def parse_gp(g: dict, base_dir=".") -> sc.GP:
                      mean_additional=right.mean)
     mean = parse_mean(g.get("mean", {}), base_dir)
     cov = parse_cov(g.get("covariance", {}))
-    return sc.GP(mean=mean, cov=cov)
+    gc = None
+    if "conditioning_data" in g:
+        # mesh point-set conditioning (GaussianProcess.cpp:212-241)
+        from ..io.meshio import load_mesh
+        from ..ops import gp as gpmod
+        mesh = load_mesh(os.path.join(base_dir, g["conditioning_data"]))
+        pos = np.asarray(mesh["pos"], np.float32)
+        nrm = np.asarray(mesh["normal"], np.float32)
+        pos_u, idx = np.unique(pos.round(6), axis=0, return_index=True)
+        nrm_u = nrm[idx]
+        cap = int(g.get("conditioning_max_points", 192))
+        if len(pos_u) > cap:
+            sel = np.random.default_rng(0).choice(len(pos_u), cap,
+                                                  replace=False)
+            pos_u, nrm_u = pos_u[sel], nrm_u[sel]
+        nrm_u = nrm_u / np.maximum(
+            np.linalg.norm(nrm_u, axis=-1, keepdims=True), 1e-9)
+        gp_tmp = sc.GP(mean=mean, cov=cov)
+        gc = gpmod.build_global_cond(gp_tmp, gpmod.make_cov_fn(gp_tmp),
+                                     jnp.asarray(pos_u), jnp.asarray(nrm_u))
+    return sc.GP(mean=mean, cov=cov, global_cond=gc)
 
 
 # ---------------------------------------------------------------------------
@@ -453,6 +543,7 @@ def parse_env(p: dict, base_dir: str):
 
 
 def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
+    base_dir = doc.get("__dir__", ".")
     bsdf_list = []
     bsdf_names = {}
     for b in doc.get("bsdfs", []):
