@@ -34,8 +34,18 @@ PLASTIC = 8
 THIN_SHEET = 9
 ROUGH_DIELECTRIC = 10
 ROUGH_PLASTIC = 11
+PHONG = 12
+DIFFUSE_TRANSMISSION = 13
+TRANSPARENCY = 14
+MIXED = 15
+SMOOTH_COAT = 16
+ROUGH_COAT = 17
+NDF_BSDF = 18
 
 SPECULAR_KINDS = (MIRROR, CONDUCTOR, DIELECTRIC, THIN_SHEET)
+# kinds that hold a reference to another table row (one nesting level only,
+# mirroring MixedBsdf.cpp:54 "Recursive mixed BSDF not supported")
+NESTED_KINDS = (TRANSPARENCY, MIXED, SMOOTH_COAT, ROUGH_COAT)
 
 
 @struct(meta=("kinds_static",))
@@ -49,6 +59,11 @@ class BsdfTable:
     enable_refraction: jnp.ndarray  # [B] bool
     dist: jnp.ndarray  # [B] ndf.GGX / ndf.BECKMANN for rough kinds
     albedo_tex: jnp.ndarray  # [B] texture index (-1 = constant albedo)
+    p0: jnp.ndarray  # [B] phong exponent / diff-trans T / mixed ratio / coat thickness
+    p1: jnp.ndarray  # [B] phong diffuse_ratio / transparency alpha
+    sigma_a: jnp.ndarray  # [B,3] coat absorption (SmoothCoatBsdf.cpp:15)
+    sub_a: jnp.ndarray  # [B] substrate / base / bsdf0 row index
+    sub_b: jnp.ndarray  # [B] bsdf1 row index (mixed)
     kinds_static: tuple = ()  # python-side mirror of `kind` for static queries
 
 
@@ -63,6 +78,11 @@ def build_table(bsdfs: list[dict]) -> BsdfTable:
     refr = np.ones(B, bool)
     dist = np.zeros(B, np.int32)
     atex = np.full(B, -1, np.int32)
+    p0 = np.zeros(B, np.float32)
+    p1 = np.zeros(B, np.float32)
+    sa = np.zeros((B, 3), np.float32)
+    sub_a = np.zeros(B, np.int32)
+    sub_b = np.zeros(B, np.int32)
     for i, b in enumerate(bsdfs):
         kind[i] = b["kind"]
         albedo[i] = np.asarray(b.get("albedo", (1.0, 1.0, 1.0)), np.float32)
@@ -75,11 +95,29 @@ def build_table(bsdfs: list[dict]) -> BsdfTable:
         refr[i] = b.get("enable_refraction", True)
         dist[i] = b.get("distribution", 0)
         atex[i] = b.get("albedo_tex", -1)
+        if b["kind"] == PHONG:
+            p0[i] = b.get("exponent", 64.0)
+            p1[i] = b.get("diffuse_ratio", 0.2)
+        elif b["kind"] == DIFFUSE_TRANSMISSION:
+            p0[i] = b.get("transmittance", 0.5)
+        elif b["kind"] == TRANSPARENCY:
+            p1[i] = b.get("alpha", 1.0)
+        elif b["kind"] == MIXED:
+            p0[i] = b.get("ratio", 0.5)
+        elif b["kind"] in (SMOOTH_COAT, ROUGH_COAT):
+            p0[i] = b.get("thickness", 1.0)
+            ior[i] = b.get("ior", 1.3)
+        sa[i] = np.asarray(b.get("sigma_a", (0.0, 0.0, 0.0)), np.float32)
+        sub_a[i] = b.get("sub_a", i)
+        sub_b[i] = b.get("sub_b", i)
     return BsdfTable(kind=jnp.asarray(kind), albedo=jnp.asarray(albedo),
                      ior=jnp.asarray(ior), roughness=jnp.asarray(rough),
                      eta=jnp.asarray(eta), k=jnp.asarray(kk),
                      enable_refraction=jnp.asarray(refr),
                      dist=jnp.asarray(dist), albedo_tex=jnp.asarray(atex),
+                     p0=jnp.asarray(p0), p1=jnp.asarray(p1),
+                     sigma_a=jnp.asarray(sa),
+                     sub_a=jnp.asarray(sub_a), sub_b=jnp.asarray(sub_b),
                      kinds_static=tuple(int(k) for k in kind))
 
 
@@ -147,8 +185,8 @@ def is_null(table, bi):
     return table.kind[bi] == NULL
 
 
-def eval_bsdf(table, bi, wi, wo):
-    """f(wi, wo) * |cos(wo)| for non-Dirac lobes (NEE path).
+def _eval_simple(table, bi, wi, wo):
+    """f(wi, wo) * |cos(wo)| for non-Dirac, non-nested lobes (NEE path).
 
     Specular/forward/null kinds evaluate to 0 (TraceBase estimateDirect skips
     them, TraceBase.cpp:432)."""
@@ -224,19 +262,43 @@ def eval_bsdf(table, bi, wi, wo):
                                          1e-9))[..., None]
     f_rd = jnp.where(opp_side[..., None], f_rd_trans, f_rd_refl)
 
+    # modified Phong (PhongBsdf.cpp:39-120): diffuse_ratio mix of lambert and
+    # an (e+2)/(2pi) cos^e lobe around the mirror direction
+    e = jnp.maximum(table.p0[bi], 1.0)
+    dr = jnp.clip(table.p1[bi], 0.0, 1.0)
+    cos_r = jnp.clip(-wi[..., 0] * wo[..., 0] - wi[..., 1] * wo[..., 1]
+                     + czi * czo, 0.0, 1.0)
+    f_ph = (albedo * ((1.0 - dr) * (e + 2.0) / (2.0 * jnp.pi)
+                      * jnp.power(cos_r, e)
+                      + dr / jnp.pi)[..., None]
+            * jnp.maximum(czo, 0.0)[..., None])
+
+    # diffuse transmission (DiffuseTransmissionBsdf): two-sided lambert with
+    # transmit fraction T = p0
+    T = jnp.clip(table.p0[bi], 0.0, 1.0)
+    f_dt = (albedo / jnp.pi * jnp.abs(czo)[..., None]
+            * jnp.where(opp_side, T, 1.0 - T)[..., None])
+
+    # NDF bsdf (NDFBsdf.hpp): bare microfacet mirror, F = 1
+    f_ndf = albedo * (D * G / denom_r)[..., None]
+
     f = jnp.select([jnp.broadcast_to(k == LAMBERT, f_lam.shape),
                     jnp.broadcast_to(k == OREN_NAYAR, f_lam.shape),
                     jnp.broadcast_to(k == ROUGH_CONDUCTOR, f_lam.shape),
                     jnp.broadcast_to(k == PLASTIC, f_lam.shape),
                     jnp.broadcast_to(k == ROUGH_PLASTIC, f_lam.shape),
-                    jnp.broadcast_to(k == ROUGH_DIELECTRIC, f_lam.shape)],
-                   [f_lam, f_on, f_rc, f_pl_diff, f_rp, f_rd], 0.0)
-    two_sided = k == ROUGH_DIELECTRIC
+                    jnp.broadcast_to(k == ROUGH_DIELECTRIC, f_lam.shape),
+                    jnp.broadcast_to(k == PHONG, f_lam.shape),
+                    jnp.broadcast_to(k == DIFFUSE_TRANSMISSION, f_lam.shape),
+                    jnp.broadcast_to(k == NDF_BSDF, f_lam.shape)],
+                   [f_lam, f_on, f_rc, f_pl_diff, f_rp, f_rd,
+                    f_ph, f_dt, f_ndf], 0.0)
+    two_sided = (k == ROUGH_DIELECTRIC) | (k == DIFFUSE_TRANSMISSION)
     return jnp.where((same_side | two_sided)[..., None], f, 0.0)
 
 
-def pdf_bsdf(table, bi, wi, wo):
-    """pdf of sample() for non-Dirac lobes."""
+def _pdf_simple(table, bi, wi, wo):
+    """pdf of sample() for non-Dirac, non-nested lobes."""
     k = table.kind[bi]
     czi, czo = wi[..., 2], wo[..., 2]
     p_cos = jnp.maximum(czo, 0.0) / jnp.pi
@@ -281,11 +343,27 @@ def pdf_bsdf(table, bi, wi, wo):
     p_trans = (1.0 - F_ht) * nd.pdf_m(dist, wi_up, ht_up, alpha) * jac_t
     pdf = jnp.where(k == ROUGH_DIELECTRIC,
                     jnp.where(opp, p_trans, p_refl), pdf)
+
+    # phong: diffuse_ratio mix of cosine and (e+1)/(2pi) cos^e lobe
+    e = jnp.maximum(table.p0[bi], 1.0)
+    dr = jnp.clip(table.p1[bi], 0.0, 1.0)
+    cos_r = jnp.clip(-wi[..., 0] * wo[..., 0] - wi[..., 1] * wo[..., 1]
+                     + czi * czo, 0.0, 1.0)
+    p_ph = (dr * p_cos
+            + (1.0 - dr) * (e + 1.0) / (2.0 * jnp.pi) * jnp.power(cos_r, e))
+    pdf = jnp.where((k == PHONG) & (czi > 0) & (czo > 0), p_ph, pdf)
+
+    # diffuse transmission
+    T = jnp.clip(table.p0[bi], 0.0, 1.0)
+    p_dt = jnp.abs(czo) / jnp.pi * jnp.where(opp, T, 1.0 - T)
+    pdf = jnp.where(k == DIFFUSE_TRANSMISSION, p_dt, pdf)
+
+    pdf = jnp.where((k == NDF_BSDF) & (czi > 0) & (czo > 0), p_spec, pdf)
     return pdf
 
 
-def sample_bsdf(table, bi, wi, u):
-    """Sample wo given wi in local frame; u is [4] uniforms.
+def _sample_simple(table, bi, wi, u):
+    """Sample wo given wi in local frame; u is [>=5] uniforms.
 
     Returns dict(wo, weight[3], pdf, specular(bool), valid(bool)).
     The medium-boundary dielectric handles refraction with relative IOR."""
@@ -409,36 +487,322 @@ def sample_bsdf(table, bi, wi, u):
     wo_ts = jnp.where(ts_refl[..., None], wo_m, wo_f)
     w_ts = jnp.ones(3)
 
+    # phong: diffuse_ratio chooses cosine vs cos^e lobe around the mirror dir
+    e = jnp.maximum(table.p0[bi], 1.0)
+    dr = jnp.clip(table.p1[bi], 0.0, 1.0)
+    ph_glossy = u[2] >= dr
+    phi_g = 2.0 * jnp.pi * u[0]
+    ct_g = jnp.power(jnp.clip(u[1], 1e-9, 1.0), 1.0 / (e + 1.0))
+    st_g = jnp.sqrt(jnp.maximum(1.0 - ct_g * ct_g, 0.0))
+    lobe = jnp.stack([st_g * jnp.cos(phi_g), st_g * jnp.sin(phi_g), ct_g],
+                     axis=-1)
+    # frame around mirror direction
+    mz = wo_m / jnp.maximum(jnp.linalg.norm(wo_m, axis=-1, keepdims=True),
+                            1e-12)
+    hx = jnp.where(jnp.abs(mz[..., 0:1]) < 0.9,
+                   jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    mt = jnp.cross(hx, mz)
+    mt = mt / jnp.maximum(jnp.linalg.norm(mt, axis=-1, keepdims=True), 1e-12)
+    mb = jnp.cross(mz, mt)
+    wo_ph_g = (lobe[..., 0:1] * mt + lobe[..., 1:2] * mb
+               + lobe[..., 2:3] * mz)
+    wo_ph = jnp.where(ph_glossy[..., None], wo_ph_g, wo_d)
+    if PHONG in table.kinds_static:
+        f_ph_at = _eval_simple(table, bi, wi, wo_ph)
+        p_ph_at = _pdf_simple(table, bi, wi, wo_ph)
+        w_ph = f_ph_at / jnp.maximum(p_ph_at, 1e-9)[..., None]
+        ph_ok = (czi > 0) & (wo_ph[..., 2] > 1e-6) & (p_ph_at > 1e-9)
+    else:  # trace-time gate: keep compiled code free of the extra lobe
+        f_ph_at = jnp.zeros(3)
+        p_ph_at = jnp.ones(())
+        w_ph = jnp.zeros(3)
+        ph_ok = jnp.zeros((), bool)
+
+    # diffuse transmission: transmit w.p. T
+    T = jnp.clip(table.p0[bi], 0.0, 1.0)
+    dt_trans = u[2] < T
+    side = jnp.sign(jnp.where(czi == 0, 1.0, czi))
+    flip = jnp.where(dt_trans, -side, side)
+    wo_dt = jnp.stack([wo_d[..., 0], wo_d[..., 1], flip * wo_d[..., 2]],
+                      axis=-1)
+    w_dt = albedo
+
+    # NDF bsdf: visible-normal mirror facet, weight G2/G1 (F = 1)
+    wo_ndf = wo_rc
+    w_ndf = albedo * w_micro[..., None]
+
     wo = jnp.select([
         (k == LAMBERT)[..., None] | (k == OREN_NAYAR)[..., None],
         (k == MIRROR)[..., None], (k == CONDUCTOR)[..., None],
         (k == DIELECTRIC)[..., None], (k == FORWARD)[..., None],
         (k == ROUGH_CONDUCTOR)[..., None], (k == PLASTIC)[..., None],
         (k == ROUGH_PLASTIC)[..., None],
-        (k == ROUGH_DIELECTRIC)[..., None], (k == THIN_SHEET)[..., None]],
+        (k == ROUGH_DIELECTRIC)[..., None], (k == THIN_SHEET)[..., None],
+        (k == PHONG)[..., None], (k == DIFFUSE_TRANSMISSION)[..., None],
+        (k == NDF_BSDF)[..., None]],
         [wo_d, wo_m, wo_c := wo_m, wo_di, wo_f,
-         wo_rc, wo_pl, wo_rp, wo_rd, wo_ts], wo_d)
+         wo_rc, wo_pl, wo_rp, wo_rd, wo_ts, wo_ph, wo_dt, wo_ndf], wo_d)
     weight = jnp.select([
         (k == LAMBERT)[..., None], (k == OREN_NAYAR)[..., None],
         (k == MIRROR)[..., None], (k == CONDUCTOR)[..., None],
         (k == DIELECTRIC)[..., None], (k == FORWARD)[..., None],
         (k == ROUGH_CONDUCTOR)[..., None], (k == PLASTIC)[..., None],
         (k == ROUGH_PLASTIC)[..., None],
-        (k == ROUGH_DIELECTRIC)[..., None], (k == THIN_SHEET)[..., None]],
+        (k == ROUGH_DIELECTRIC)[..., None], (k == THIN_SHEET)[..., None],
+        (k == PHONG)[..., None], (k == DIFFUSE_TRANSMISSION)[..., None],
+        (k == NDF_BSDF)[..., None]],
         [w_lam, w_on, w_m, w_c, w_di, w_f,
-         w_rc, w_pl, w_rp, w_rd, w_ts], jnp.zeros(3))
+         w_rc, w_pl, w_rp, w_rd, w_ts, w_ph, w_dt, w_ndf], jnp.zeros(3))
     pdf = jnp.select([k == LAMBERT, k == OREN_NAYAR, k == ROUGH_CONDUCTOR,
                       k == PLASTIC, k == ROUGH_PLASTIC,
-                      k == ROUGH_DIELECTRIC],
-                     [pdf_d, pdf_d, pdf_rc, pdf_pl, pdf_rp, pdf_rd], 1.0)
+                      k == ROUGH_DIELECTRIC, k == PHONG,
+                      k == DIFFUSE_TRANSMISSION, k == NDF_BSDF],
+                     [pdf_d, pdf_d, pdf_rc, pdf_pl, pdf_rp, pdf_rd,
+                      p_ph_at,
+                      jnp.abs(wo_dt[..., 2]) / jnp.pi
+                      * jnp.where(dt_trans, T, 1.0 - T),
+                      pdf_rc], 1.0)
     specular = ((k == MIRROR) | (k == CONDUCTOR) | (k == DIELECTRIC)
                 | (k == FORWARD) | (k == THIN_SHEET)
                 | ((k == PLASTIC) & spec_choice))
     diffuse_ok = czi > 0
     valid = jnp.select(
         [(k == LAMBERT) | (k == OREN_NAYAR) | (k == PLASTIC),
-         k == ROUGH_CONDUCTOR, k == ROUGH_PLASTIC, k == ROUGH_DIELECTRIC],
-        [diffuse_ok, rc_ok & diffuse_ok, rp_ok & diffuse_ok, rd_ok],
+         k == ROUGH_CONDUCTOR, k == ROUGH_PLASTIC, k == ROUGH_DIELECTRIC,
+         k == PHONG, k == NDF_BSDF],
+        [diffuse_ok, rc_ok & diffuse_ok, rp_ok & diffuse_ok, rd_ok,
+         ph_ok, rc_ok & diffuse_ok],
         k != NULL)
     return {"wo": wo, "weight": weight, "pdf": pdf, "specular": specular,
             "valid": valid}
+
+
+# ---------------------------------------------------------------------------
+# Nested kinds: transparency / mixed / smooth+rough coat (one level deep,
+# MixedBsdf.cpp:54 forbids recursion).  Public API dispatches to the simple
+# path first, then overrides for nested rows.
+# ---------------------------------------------------------------------------
+
+def _coat_refract_in(wi, ior):
+    """Refract wi (z>0) through the flat coat interface into the coat.
+
+    Returns (wi_sub, Fi, cos_ti).  SmoothCoatBsdf.cpp:53-78."""
+    eta = 1.0 / ior
+    czi = jnp.abs(wi[..., 2])
+    Fi, cti = dielectric_fresnel(eta, czi)
+    wi_sub = jnp.stack([wi[..., 0] * eta, wi[..., 1] * eta, cti], axis=-1)
+    return wi_sub, Fi, cti
+
+
+def _coat_absorption(table, bi, cti, cto):
+    """Beer absorption through the coat, [..., 3]."""
+    th = table.p0[bi]
+    sa = table.sigma_a[bi] * th[..., None]
+    path = (-1.0 / jnp.maximum(cti, 1e-4)
+            - 1.0 / jnp.maximum(cto, 1e-4))
+    return jnp.exp(sa * path[..., None])
+
+
+def _coat_spec_prob(table, bi, Fi):
+    """specularWeight/(specularWeight+substrateWeight) with avgTransmittance
+    approximated by the normal-incidence Beer factor
+    (SmoothCoatBsdf::prepareForRender integrates this numerically)."""
+    avg_t = jnp.exp(-2.0 * jnp.mean(table.sigma_a[bi], axis=-1)
+                    * table.p0[bi])
+    sw = Fi
+    tw = avg_t * (1.0 - Fi)
+    return sw / jnp.maximum(sw + tw, 1e-9)
+
+
+def _has_nested(table):
+    """Trace-time gate: scenes without nested rows compile the plain path."""
+    return any(k in NESTED_KINDS for k in table.kinds_static)
+
+
+def eval_bsdf(table, bi, wi, wo):
+    """f(wi, wo) * |cos(wo)| for non-Dirac lobes, all kinds."""
+    if not _has_nested(table):
+        return _eval_simple(table, bi, wi, wo)
+    k = table.kind[bi]
+    f = _eval_simple(table, bi, wi, wo)
+    ba = table.sub_a[bi]
+    bb = table.sub_b[bi]
+    f_a = _eval_simple(table, ba, wi, wo)
+    f_b = _eval_simple(table, bb, wi, wo)
+    r = jnp.clip(table.p0[bi], 0.0, 1.0)
+    f = jnp.where(k == MIXED, r * f_a + (1.0 - r) * f_b, f)
+    f = jnp.where(k == TRANSPARENCY, f_a, f)
+
+    is_coat = (k == SMOOTH_COAT) | (k == ROUGH_COAT)
+    ior = table.ior[bi]
+    wi_s, Fi, cti = _coat_refract_in(wi, ior)
+    wo_s, Fo, cto = _coat_refract_in(wo, ior)
+    f_sub = _eval_simple(table, ba, wi_s, wo_s)
+    A = _coat_absorption(table, bi, cti, cto)
+    jac = (1.0 / (ior * ior)) * jnp.abs(wo[..., 2]) / jnp.maximum(cto, 1e-4)
+    f_coat = (f_sub * A * ((1.0 - Fi) * (1.0 - Fo) * jac)[..., None])
+    # rough coat adds a glossy dielectric reflection on top
+    # (RoughCoatBsdf: microfacet lobe with dielectric Fresnel)
+    czi, czo = wi[..., 2], wo[..., 2]
+    alpha = jnp.maximum(table.roughness[bi], 1e-3)
+    dist = table.dist[bi]
+    m = wi + wo
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    m = m * jnp.sign(m[..., 2:3])
+    wi_dot_m = jnp.sum(wi * m, axis=-1)
+    F_m, _ = dielectric_fresnel(1.0 / ior, jnp.abs(wi_dot_m))
+    D = nd.d_ndf(dist, m, alpha)
+    G = nd.g2(dist, wi, wo, m, alpha)
+    f_top = (F_m * D * G / (4.0 * jnp.maximum(jnp.abs(czi), 1e-6)))[..., None]
+    f_coat = f_coat + jnp.where(k == ROUGH_COAT,
+                                jnp.broadcast_to(f_top, f_coat.shape), 0.0)
+    ok = (czi > 0) & (czo > 0)
+    f = jnp.where(is_coat, jnp.where(ok[..., None], f_coat, 0.0), f)
+    return f
+
+
+def pdf_bsdf(table, bi, wi, wo):
+    """pdf of sample() for non-Dirac lobes, all kinds."""
+    if not _has_nested(table):
+        return _pdf_simple(table, bi, wi, wo)
+    k = table.kind[bi]
+    pdf = _pdf_simple(table, bi, wi, wo)
+    ba = table.sub_a[bi]
+    bb = table.sub_b[bi]
+    p_a = _pdf_simple(table, ba, wi, wo)
+    p_b = _pdf_simple(table, bb, wi, wo)
+    r = jnp.clip(table.p0[bi], 0.0, 1.0)
+    pdf = jnp.where(k == MIXED, r * p_a + (1.0 - r) * p_b, pdf)
+    alpha_t = jnp.clip(table.p1[bi], 0.0, 1.0)
+    pdf = jnp.where(k == TRANSPARENCY, alpha_t * p_a, pdf)
+
+    is_coat = (k == SMOOTH_COAT) | (k == ROUGH_COAT)
+    ior = table.ior[bi]
+    wi_s, Fi, cti = _coat_refract_in(wi, ior)
+    wo_s, Fo, cto = _coat_refract_in(wo, ior)
+    p_sub = _pdf_simple(table, ba, wi_s, wo_s)
+    jac = (1.0 / (ior * ior)) * jnp.abs(wo[..., 2]) / jnp.maximum(cto, 1e-4)
+    sp = _coat_spec_prob(table, bi, Fi)
+    p_coat = (1.0 - sp) * p_sub * jac
+    # rough coat top lobe pdf
+    czi = wi[..., 2]
+    alpha = jnp.maximum(table.roughness[bi], 1e-3)
+    dist = table.dist[bi]
+    m = wi + wo
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    m = m * jnp.sign(m[..., 2:3])
+    wi_dot_m = jnp.sum(wi * m, axis=-1)
+    p_top = nd.pdf_m(dist, wi, m, alpha) / jnp.maximum(
+        4.0 * jnp.abs(wi_dot_m), 1e-9)
+    p_coat = p_coat + jnp.where(k == ROUGH_COAT, sp * p_top, 0.0)
+    pdf = jnp.where(is_coat & (czi > 0) & (wo[..., 2] > 0), p_coat, pdf)
+    return pdf
+
+
+def sample_bsdf(table, bi, wi, u):
+    """Sample wo given wi in local frame; u is [5] uniforms (u[4] selects the
+    lobe for nested kinds).  All kinds."""
+    s = _sample_simple(table, bi, wi, u)
+    if not _has_nested(table):
+        return s
+    k = table.kind[bi]
+    ba = table.sub_a[bi]
+    bb = table.sub_b[bi]
+
+    # ---- transparency: w.p. alpha sample the base, else pass through ------
+    alpha_t = jnp.clip(table.p1[bi], 0.0, 1.0)
+    s_a = _sample_simple(table, ba, wi, u)
+    through = u[4] >= alpha_t
+    s_tr = {
+        "wo": jnp.where(through[..., None], -wi, s_a["wo"]),
+        "weight": jnp.where(through[..., None], jnp.ones(3), s_a["weight"]),
+        "pdf": jnp.where(through, 1.0, alpha_t * s_a["pdf"]),
+        "specular": jnp.where(through, True, s_a["specular"]),
+        "valid": jnp.where(through, True, s_a["valid"]),
+    }
+
+    # ---- mixed: pick bsdf0 w.p. ratio, mixture estimator for smooth lobes -
+    r = jnp.clip(table.p0[bi], 0.0, 1.0)
+    pick_a = u[4] < r
+    s_b = _sample_simple(table, bb, wi, u)
+    wo_mx = jnp.where(pick_a[..., None], s_a["wo"], s_b["wo"])
+    chosen_spec = jnp.where(pick_a, s_a["specular"], s_b["specular"])
+    f_mx = (r * _eval_simple(table, ba, wi, wo_mx)
+            + (1.0 - r) * _eval_simple(table, bb, wi, wo_mx))
+    p_mx = (r * _pdf_simple(table, ba, wi, wo_mx)
+            + (1.0 - r) * _pdf_simple(table, bb, wi, wo_mx))
+    w_mx_smooth = f_mx / jnp.maximum(p_mx, 1e-9)[..., None]
+    w_mx = jnp.where(chosen_spec[..., None],
+                     jnp.where(pick_a[..., None], s_a["weight"],
+                               s_b["weight"]),
+                     w_mx_smooth)
+    s_mx = {
+        "wo": wo_mx,
+        "weight": w_mx,
+        "pdf": jnp.where(chosen_spec, jnp.where(pick_a, r, 1.0 - r), p_mx),
+        "specular": chosen_spec,
+        "valid": jnp.where(pick_a, s_a["valid"], s_b["valid"])
+                 & jnp.where(chosen_spec, True, p_mx > 1e-9),
+    }
+
+    # ---- coats (SmoothCoatBsdf.cpp:40-100) --------------------------------
+    ior = table.ior[bi]
+    wi_s, Fi, cti = _coat_refract_in(wi, ior)
+    sp = _coat_spec_prob(table, bi, Fi)
+    top = u[4] < sp
+    # top lobe: smooth mirror or microfacet reflection off the coat
+    czi = wi[..., 2]
+    wo_mirror = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
+    alpha = jnp.maximum(table.roughness[bi], 1e-3)
+    dist = table.dist[bi]
+    wi_up = jnp.stack([wi[..., 0], wi[..., 1], jnp.abs(czi)], axis=-1)
+    m_g = nd.sample_vndf_ggx(wi_up, alpha, u[2], u[3])
+    m_b = nd.sample_vndf_beckmann(wi_up, alpha, u[2], u[3])
+    m_up = jnp.where(dist == nd.GGX, m_g, m_b)
+    i_dot_m = jnp.sum(wi_up * m_up, axis=-1)
+    wo_top_rough = nd.reflect(wi_up, m_up)
+    F_m, _ = dielectric_fresnel(1.0 / ior, jnp.abs(i_dot_m))
+    G2r = nd.g2(dist, wi_up, wo_top_rough, m_up, alpha)
+    G1r = jnp.maximum(nd.g1(dist, wi_up, m_up, alpha), 1e-6)
+    p_top_r = nd.pdf_m(dist, wi_up, m_up, alpha) / jnp.maximum(
+        4.0 * jnp.abs(i_dot_m), 1e-9)
+    rough_top = k == ROUGH_COAT
+    wo_top = jnp.where(rough_top[..., None], wo_top_rough, wo_mirror)
+    w_top = jnp.where(rough_top[..., None],
+                      (F_m * G2r / G1r / jnp.maximum(sp, 1e-9))[..., None]
+                      * jnp.ones(3),
+                      (Fi / jnp.maximum(sp, 1e-9))[..., None] * jnp.ones(3))
+    pdf_top = jnp.where(rough_top, sp * p_top_r, sp)
+    top_ok = wo_top[..., 2] > 1e-6
+
+    # substrate: refract in, sample, refract out
+    s_sub = _sample_simple(table, ba, wi_s, u)
+    wo_sub = s_sub["wo"]
+    czo_sub = wo_sub[..., 2]
+    Fo, cto = dielectric_fresnel(ior, jnp.abs(czo_sub))
+    tir = Fo >= 1.0 - 1e-6
+    wo_out = jnp.stack([wo_sub[..., 0] * ior, wo_sub[..., 1] * ior, cto],
+                       axis=-1)
+    A = _coat_absorption(table, bi, cti, jnp.abs(czo_sub))
+    w_sub = (s_sub["weight"] * A
+             * ((1.0 - Fi) * (1.0 - Fo)
+                / jnp.maximum(1.0 - sp, 1e-9))[..., None])
+    pdf_sub = (s_sub["pdf"] * (1.0 - sp) * (1.0 / (ior * ior))
+               * cto / jnp.maximum(jnp.abs(czo_sub), 1e-6))
+    s_coat = {
+        "wo": jnp.where(top[..., None], wo_top, wo_out),
+        "weight": jnp.where(top[..., None], w_top, w_sub),
+        "pdf": jnp.where(top, pdf_top, pdf_sub),
+        "specular": jnp.where(top, k == SMOOTH_COAT, s_sub["specular"]),
+        "valid": jnp.where(top, top_ok, s_sub["valid"] & ~tir)
+                 & (czi > 0),
+    }
+
+    out = {}
+    for key in ("wo", "weight", "pdf", "specular", "valid"):
+        v = s[key]
+        v = jnp.where(k == TRANSPARENCY, s_tr[key], v)
+        v = jnp.where(k == MIXED, s_mx[key], v)
+        v = jnp.where((k == SMOOTH_COAT) | (k == ROUGH_COAT), s_coat[key], v)
+        out[key] = v
+    return out

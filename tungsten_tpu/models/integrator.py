@@ -287,7 +287,8 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
 
     # ---------------- strategy 2: material sampling -----------------------
     u = jnp.stack([draw(bounce, 44), draw(bounce, 45),
-                   draw(bounce, 46), draw(bounce, 47)], axis=-1)
+                   draw(bounce, 46), draw(bounce, 47),
+                   draw(bounce, 48)], axis=-1)
     s_surf = jax.vmap(lambda i, wi, uu: bs.sample_bsdf(scene.bsdfs, i, wi,
                                                        uu))(
         bsdf_idx, wi_local, u)
@@ -569,7 +570,8 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
         for mi, medium in enumerate(scene.media):
             in_m = vol_event & (med_idx == mi)
             u = jnp.stack([draw(bounce, 8), draw(bounce, 9),
-                           draw(bounce, 10), draw(bounce, 11)],
+                           draw(bounce, 10), draw(bounce, 11),
+                           draw(bounce, 12)],
                           axis=-1)
             psamp = ph.sample_phase(medium, scene.bsdfs, rd, med_aniso, u)
             new_rd = jnp.where(in_m[:, None], psamp["w"], new_rd)
@@ -587,7 +589,8 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
 
         # ---- surface scattering (handleSurface:598-626) -------------------
         u = jnp.stack([draw(bounce, 16), draw(bounce, 17),
-                       draw(bounce, 18), draw(bounce, 19)], axis=-1)
+                       draw(bounce, 18), draw(bounce, 19),
+                       draw(bounce, 20)], axis=-1)
         s = jax.vmap(lambda i, wi, uu: bs.sample_bsdf(scene.bsdfs, i, wi,
                                                       uu))(
             bsdf_idx, wi_local, u)

@@ -18,6 +18,7 @@ from . import bsdfs
 PHASE_ISOTROPIC = "isotropic"
 PHASE_HG = "hg"
 PHASE_RAYLEIGH = "rayleigh"
+PHASE_LAMBERTIAN = "lambertian"
 PHASE_BRDF = "brdf"
 
 INV_FOUR_PI = 1.0 / (4.0 * jnp.pi)
@@ -47,6 +48,24 @@ def _hg_pdf(g, cos_t):
             / jnp.power(jnp.maximum(1.0 + g * g - 2.0 * g * cos_t, 1e-8), 1.5))
 
 
+def _rayleigh_pdf(cos_t):
+    """3/(16 pi) (1 + cos^2) (RayleighPhaseFunction.hpp)."""
+    return 3.0 / (16.0 * jnp.pi) * (1.0 + cos_t * cos_t)
+
+
+def _rayleigh_sample_cos(u):
+    """Exact inverse-CDF for the Rayleigh phase (standard cubic solve)."""
+    z = 2.0 * (2.0 * u - 1.0)
+    w = jnp.cbrt(z + jnp.sqrt(z * z + 1.0))
+    return jnp.clip(w - 1.0 / w, -1.0, 1.0)
+
+
+def _lambertian_pdf(cos_t):
+    """2 (sin t - t cos t) / (3 pi^2) (LambertianPhaseFunction.hpp:16-19)."""
+    t = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
+    return 2.0 * (jnp.sin(t) - t * cos_t) / (3.0 * jnp.pi * jnp.pi)
+
+
 def eval_phase(med, table, wi, wo, aniso):
     """f(wi->wo); wi is the incoming propagation direction (ray.dir())."""
     kind = med.phase_kind
@@ -55,6 +74,10 @@ def eval_phase(med, table, wi, wo, aniso):
     if kind == PHASE_HG:
         c = dot(wi, wo)
         return _hg_pdf(med.hg_g, c)[..., None] * jnp.ones(3)
+    if kind == PHASE_RAYLEIGH:
+        return _rayleigh_pdf(dot(wi, wo))[..., None] * jnp.ones(3)
+    if kind == PHASE_LAMBERTIAN:
+        return _lambertian_pdf(dot(wi, wo))[..., None] * jnp.ones(3)
     if kind == PHASE_BRDF:
         n = safe_normalize(aniso)
         t, b = tangent_frame(n)
@@ -71,6 +94,10 @@ def pdf_phase(med, table, wi, wo, aniso):
         return jnp.full(wi.shape[:-1], INV_FOUR_PI)
     if kind == PHASE_HG:
         return _hg_pdf(med.hg_g, dot(wi, wo))
+    if kind == PHASE_RAYLEIGH:
+        return _rayleigh_pdf(dot(wi, wo))
+    if kind == PHASE_LAMBERTIAN:
+        return _lambertian_pdf(dot(wi, wo))
     if kind == PHASE_BRDF:
         n = safe_normalize(aniso)
         t, b = tangent_frame(n)
@@ -95,6 +122,35 @@ def sample_phase(med, table, wi, aniso, u):
         w = _hg_sample(med.hg_g, wi, u[..., 0], u[..., 1])
         return {"w": w, "weight": jnp.ones(shape + (3,)),
                 "pdf": _hg_pdf(med.hg_g, dot(wi, w)),
+                "specular": jnp.zeros(shape, bool),
+                "valid": jnp.ones(shape, bool)}
+    if kind == PHASE_RAYLEIGH:
+        cos_t = _rayleigh_sample_cos(u[..., 1])
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
+        phi = 2.0 * jnp.pi * u[..., 0]
+        local = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
+                           cos_t], axis=-1)
+        t, b = tangent_frame(wi)
+        w = frame_to_world(t, b, wi, local)
+        return {"w": w, "weight": jnp.ones(shape + (3,)),
+                "pdf": _rayleigh_pdf(cos_t),
+                "specular": jnp.zeros(shape, bool),
+                "valid": jnp.ones(shape, bool)}
+    if kind == PHASE_LAMBERTIAN:
+        # exact sampler (LambertianPhaseFunction.hpp:26-43)
+        z1, z2, z3, z4 = u[..., 0], u[..., 1], u[..., 2], u[..., 3]
+        mu = (jnp.sqrt(jnp.maximum((1 - z1) * (1 - z2), 0.0))
+              * jnp.sin(2.0 * jnp.pi * z3)
+              - jnp.sqrt(jnp.maximum(z1 * z2, 0.0)))
+        mu = jnp.clip(mu, -1.0, 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 1e-12))
+        phi = 2.0 * jnp.pi * z4
+        local = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), mu],
+                          axis=-1)
+        t, b = tangent_frame(wi)
+        w = frame_to_world(t, b, wi, local)
+        return {"w": w, "weight": jnp.ones(shape + (3,)),
+                "pdf": _lambertian_pdf(mu),
                 "specular": jnp.zeros(shape, bool),
                 "valid": jnp.ones(shape, bool)}
     if kind == PHASE_BRDF:

@@ -140,10 +140,16 @@ _BSDF_KINDS = {
     "dielectric": bs.DIELECTRIC,
     "rough_dielectric": bs.ROUGH_DIELECTRIC,
     "forward": bs.FORWARD,
-    "transparency": bs.FORWARD,
+    "transparency": bs.TRANSPARENCY,
     "plastic": bs.PLASTIC,
     "rough_plastic": bs.ROUGH_PLASTIC,
     "thinsheet": bs.THIN_SHEET,
+    "phong": bs.PHONG,
+    "diffuse_transmission": bs.DIFFUSE_TRANSMISSION,
+    "mixed": bs.MIXED,
+    "smooth_coat": bs.SMOOTH_COAT,
+    "rough_coat": bs.ROUGH_COAT,
+    "ndf": bs.NDF_BSDF,
 }
 
 _NDF_DISTS = {"ggx": 0, "beckmann": 1, "phong": 1}
@@ -157,9 +163,36 @@ _CONDUCTORS = {
 }
 
 
-def parse_bsdf(b: dict) -> dict:
+def parse_bsdf(b: dict, resolve=None) -> dict:
+    """`resolve(ref)` maps a nested bsdf reference (name or inline dict) to a
+    table row index; one nesting level only (MixedBsdf.cpp:54)."""
     kind = _BSDF_KINDS.get(b.get("type", "lambert"), bs.LAMBERT)
     out = {"kind": kind, "albedo": _rgb(b.get("albedo"), (0.8, 0.8, 0.8))}
+    if kind == bs.PHONG:
+        out["exponent"] = float(b.get("exponent", 64.0))
+        out["diffuse_ratio"] = float(b.get("diffuse_ratio", 0.2))
+    elif kind == bs.DIFFUSE_TRANSMISSION:
+        out["transmittance"] = float(b.get("transmittance", 0.5))
+    elif kind == bs.TRANSPARENCY:
+        a = b.get("alpha", 1.0)
+        out["alpha"] = float(a) if isinstance(a, (int, float)) else 1.0
+    elif kind == bs.MIXED:
+        r = b.get("ratio", 0.5)
+        out["ratio"] = float(r) if isinstance(r, (int, float)) else 0.5
+    elif kind in (bs.SMOOTH_COAT, bs.ROUGH_COAT):
+        out["thickness"] = float(b.get("thickness", 1.0))
+        out["ior"] = float(b.get("ior", 1.3))
+        sa = b.get("sigma_a", 0.0)
+        out["sigma_a"] = ((sa,) * 3 if isinstance(sa, (int, float))
+                          else tuple(sa))
+    if resolve is not None and kind in bs.NESTED_KINDS:
+        if kind == bs.MIXED:
+            out["sub_a"] = resolve(b.get("bsdf0", {"type": "lambert"}))
+            out["sub_b"] = resolve(b.get("bsdf1", {"type": "lambert"}))
+        else:
+            sub = b.get("substrate", b.get("base",
+                        {"type": "rough_conductor"}))
+            out["sub_a"] = resolve(sub)
     if "ior" in b:
         out["ior"] = float(b["ior"])
     if "roughness" in b:
@@ -414,6 +447,10 @@ def parse_medium(m: dict, bsdf_names: dict, base_dir=".") -> md.Medium:
         elif pt in ("henyey_greenstein", "hg"):
             phase_kind = ph.PHASE_HG
             hg_g = pf.get("g", 0.0)
+        elif pt == "rayleigh":
+            phase_kind = ph.PHASE_RAYLEIGH
+        elif pt == "lambertian":
+            phase_kind = ph.PHASE_LAMBERTIAN
 
     law = parse_transmittance(m.get("transmittance"))
     field_params, grid = None, None
@@ -546,15 +583,28 @@ def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
     base_dir = doc.get("__dir__", ".")
     bsdf_list = []
     bsdf_names = {}
-    for b in doc.get("bsdfs", []):
-        bsdf_names[b.get("name", f"bsdf{len(bsdf_list)}")] = len(bsdf_list)
-        bsdf_list.append(parse_bsdf(b))
+
+    def _resolve_sub(ref):
+        """Nested bsdf reference -> row index (appends inline defs; no
+        further nesting, MixedBsdf.cpp:54)."""
+        if isinstance(ref, str):
+            return bsdf_names[ref]
+        bsdf_list.append(parse_bsdf(ref if isinstance(ref, dict) else {}))
+        return len(bsdf_list) - 1
+
+    # two-pass: reserve named slots first so nested refs by name resolve
+    docs_b = doc.get("bsdfs", [])
+    for b in docs_b:
+        bsdf_names[b.get("name", f"bsdf{len(bsdf_names)}")] = len(bsdf_names)
+    bsdf_list.extend({"kind": bs.LAMBERT} for _ in docs_b)
+    for i, b in enumerate(docs_b):
+        bsdf_list[i] = parse_bsdf(b, resolve=_resolve_sub)
 
     def bsdf_index(ref):
         if isinstance(ref, str):
             return bsdf_names[ref]
         if isinstance(ref, dict):
-            bsdf_list.append(parse_bsdf(ref))
+            bsdf_list.append(parse_bsdf(ref, resolve=_resolve_sub))
             return len(bsdf_list) - 1
         return 0
 
