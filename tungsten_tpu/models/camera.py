@@ -68,6 +68,51 @@ class Camera:
     def pos(self):
         return self.transform[:3, 3]
 
+    def connect(self, p):
+        """Inverse projection for light-emitting integrators (the analog of
+        Camera::sampleDirect / evalDirection, cameras/PinholeCamera.cpp).
+
+        Given world points p [..., 3], returns a dict with
+          px, py   int32 pixel indices,
+          dir      unit direction p -> camera,
+          dist     |p - camera|,
+          we       pinhole importance  d_plane^2 / (A_pixel * cos^3 theta)
+                   such that  integral(we dOmega) over one pixel's solid
+                   angle = 1; a light-vertex splat is
+                   beta * f * we / dist^2 (f includes the vertex cosine),
+          valid    in front of the camera and inside the frame.
+
+        Thinlens is treated as a pinhole at the lens center (exact when
+        aperture -> 0); equirect/cubemap cameras are not supported for
+        light tracing."""
+        cam_pos = self.transform[:3, 3]
+        to_cam = cam_pos - p
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(to_cam * to_cam, -1), 1e-12))
+        d = to_cam / dist[..., None]
+        # world -> camera-local (rotation is orthonormal)
+        local = jnp.einsum("ji,...j->...i", self.transform[:3, :3], p - cam_pos,
+                           precision="highest")
+        z = local[..., 2]
+        valid = z > 1e-5
+        z_safe = jnp.where(valid, z, 1.0)
+        plane_dist = 1.0 / jnp.tan(jnp.deg2rad(self.fov_deg) * 0.5)
+        xp = local[..., 0] / z_safe * plane_dist
+        yp = local[..., 1] / z_safe * plane_dist
+        ratio = self.res_y / self.res_x
+        pxf = (xp + 1.0) * (self.res_x * 0.5)
+        pyf = (ratio - yp) * (self.res_x * 0.5)
+        px = jnp.floor(pxf).astype(jnp.int32)
+        py = jnp.floor(pyf).astype(jnp.int32)
+        valid = valid & (px >= 0) & (px < self.res_x) \
+            & (py >= 0) & (py < self.res_y)
+        cos_t = z_safe / dist
+        a_pix = (2.0 / self.res_x) ** 2
+        we = plane_dist * plane_dist \
+            / (a_pix * jnp.maximum(cos_t, 1e-6) ** 3)
+        return {"px": jnp.clip(px, 0, self.res_x - 1),
+                "py": jnp.clip(py, 0, self.res_y - 1),
+                "dir": d, "dist": dist, "we": we, "valid": valid}
+
     def sample_ray(self, px, py, u_filter, u_lens=None):
         """Ray for pixel (px, py) with sub-pixel jitter u_filter [2] in [0,1)
         (PinholeCamera::sampleDirection, PinholeCamera.cpp:70-86)."""

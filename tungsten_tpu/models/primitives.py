@@ -339,6 +339,38 @@ def sample_direct(soa: PrimitiveSoA, li, p, u1, u2):
     return d, dist, pdf, valid
 
 
+def sample_position(soa: PrimitiveSoA, li, u1, u2):
+    """Sample a point on primitive `li`'s surface (Primitive::samplePosition:
+    Quad.cpp:188-200, Sphere.cpp samplePosition, Disk samplePosition).
+
+    Returns (p [3], n [3], pdf_area) — used by light-emitting integrators
+    (light tracer / photon map / BDPT light subpaths)."""
+    kind = soa.kind[li]
+    inv_area = 1.0 / jnp.maximum(soa.area[li], 1e-12)
+
+    # quad
+    pq = soa.p0[li] + u1 * soa.e0[li] + u2 * soa.e1[li]
+    nq = soa.n[li]
+
+    # sphere: uniform over the full sphere
+    z = 1.0 - 2.0 * u1
+    r_xy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * jnp.pi * u2
+    ns = jnp.stack([r_xy * jnp.cos(phi), r_xy * jnp.sin(phi), z])
+    ps = soa.p0[li] + soa.radius[li] * ns
+
+    # disk: uniform over the disk in the (n) plane
+    tg, bt = tangent_frame(soa.n[li])
+    rd_ = soa.radius[li] * jnp.sqrt(jnp.maximum(u1, 0.0))
+    pd = soa.p0[li] + rd_ * (jnp.cos(phi) * tg + jnp.sin(phi) * bt)
+
+    is_sphere = kind == PRIM_SPHERE
+    is_disk = kind == PRIM_DISK
+    p = jnp.where(is_sphere, ps, jnp.where(is_disk, pd, pq))
+    n = jnp.where(is_sphere, ns, nq)
+    return p, n, inv_area
+
+
 def direct_pdf(soa: PrimitiveSoA, li, p, w, t_hit, n_hit=None):
     """Solid-angle pdf of hitting light `li` from p along w at distance t_hit
     (Quad.cpp:216-223, Sphere.cpp directPdf, TriangleMesh.cpp:477-480).

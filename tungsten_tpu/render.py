@@ -168,7 +168,16 @@ def main(argv=None):
                     help="extra adaptive samples for high-variance tiles")
     ap.add_argument("--data-dump-pixel", default=None, metavar="X,Y",
                     help="dump SDF values along the primary ray to JSON")
+    ap.add_argument("--serve", type=int, default=0, metavar="PORT",
+                    help="expose /status /framebuffer /log on PORT "
+                         "(tungsten-server analog)")
     args = ap.parse_args(argv)
+
+    srv = None
+    if args.serve:
+        from .server import RenderServer
+        srv = RenderServer(port=args.serve)
+        print(f"serving render status on http://127.0.0.1:{srv.port}")
 
     scene, rdoc = load_scene(args.scene, seed=args.seed)
     spp = args.spp or int(rdoc.get("spp", 32))
@@ -200,6 +209,14 @@ def main(argv=None):
         if args.checkpoint_interval and (s + 1) % args.checkpoint_interval == 0:
             np.savez(ckpt_path, film=np.asarray(f), spp=s + 1,
                      scene_hash=shash)
+        if srv is not None:
+            H, W = scene.camera.res_y, scene.camera.res_x
+            srv.update(film=np.asarray(f) / (s + 1), state="rendering",
+                       scene=args.scene, spp_done=s + 1,
+                       spp_total=spp_start + spp,
+                       ksamples_s=round(H * W * (s + 1 - spp_start)
+                                        / max(el, 1e-6) / 1e3, 2))
+            srv.log(f"spp {s + 1}/{spp_start + spp}")
 
     sampler = args.sampler or rdoc.get("sampler_type", "independent")
     if sampler not in ("independent", "sobol"):
@@ -226,6 +243,8 @@ def main(argv=None):
     write_png(out, img, tonemap=True, curve=args.tonemap)
     write_pfm(os.path.splitext(out)[0] + ".pfm", img)
     print(f"wrote {out}")
+    if srv is not None:
+        srv.update(film=img, state="done", spp_done=done[0])
 
     if args.aovs:
         from .models.integrator import render_aovs
