@@ -383,6 +383,9 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
     w_est2 = jax.lax.stop_gradient(tr2 * mis2 * light_weight)
     contrib2 = jnp.where((hit_light2 & (tr2 > 0))[:, None],
                          w2 * light_e2 * w_est2[:, None], 0.0)
+    if _os.environ.get("TUNGSTEN_TPU_DEBUG_NEE"):
+        return contrib1 + contrib2, dict(c1=contrib1, c2=contrib2, tr1=tr1,
+                                         tr2=tr2, f1=f1, valid1=valid1)
     return contrib1 + contrib2
 
 
@@ -545,6 +548,11 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
         c = next_event(scene, p_vtx, vol_event, rd, med_aniso, scheme, med_t,
                        sh_normal, tfr, bfr, wi_local, bsdf_idx, med_idx,
                        med_state, pss_next, draw, bounce, gate)
+        dbg_nee_parts = {}
+        if _os.environ.get("TUNGSTEN_TPU_DEBUG_NEE"):
+            c, dbg_nee_parts = c
+            dbg_nee_parts = {"dbgn_" + k: v for k, v in dbg_nee_parts.items()}
+            dbg_nee_parts["dbgn_isvol"] = vol_event
         emission = emission + jnp.where(gate[:, None], throughput * c, 0.0)
 
         # ---- feature buffers at the first scattering vertex ----------------
@@ -654,6 +662,7 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
                              dbg_it=jnp.where(did_hit, isect["t"], 0.0),
                              dbg_in=isect["normal"],
                              dbg_ro_in=ro, dbg_rd_in=rd)
+            out_carry.update(dbg_nee=c, dbg_gate=gate, **dbg_nee_parts)
             out_carry.update(dbg_med_t=med_t, dbg_aniso=med_aniso,
                              dbg_vol_p=vol_p, dbg_hit_p=hit_p,
                              dbg_wo_world=wo_world, dbg_weight=med_weight,

@@ -135,6 +135,11 @@ def _select(mask, a, b):
                                x, y), a, b)
 
 
+def _detach(tree):
+    """stop_gradient over a pytree (Nones/static fields pass through)."""
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, tree)
+
+
 # ---------------------------------------------------------------------------
 # Field evaluators (value along the ray), one per GPIS representation
 # ---------------------------------------------------------------------------
@@ -649,9 +654,15 @@ def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
 
     state = _precondition(med, scene_seed, ro, rd, near, state, pss, active)
     value_at = make_value_at(med, scene_seed, ro, rd, near, state, pss)
-    m = jax.lax.stop_gradient(
-        march(med, value_at, ro, rd, near, far_eff, state, pss, u_jitter,
-              active))
+    # The march is a discrete search: run it on fully-detached inputs so the
+    # while_loop never sees tangents (reverse-mode cannot traverse it), then
+    # reattach hyperparameter gradients through the IFT evals below.
+    med_d, ro_d, rd_d, near_d, far_d, state_d = _detach(
+        (med, ro, rd, near, far_eff, state))
+    value_at_d = make_value_at(med_d, scene_seed, ro_d, rd_d, near_d,
+                               state_d, pss)
+    m = march(med_d, value_at_d, ro_d, rd_d, near_d, far_d, state_d, pss,
+              u_jitter, active)
 
     hit = m["hit"]
     t = m["t"]
@@ -744,6 +755,10 @@ def transmittance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
         tr_m = tr.eval_tr(law, tau_total, False, True)
         return jnp.where(active,
                          jnp.where(state.first_scatter, tr_s, tr_m), 1.0)
+    # binary visibility is a discrete event (zero gradient a.e.): march on
+    # fully-detached inputs so the while_loop never sees tangents
+    med, ro, rd, near, far_eff, state = _detach(
+        (med, ro, rd, near, far_eff, state))
     state = _precondition(med, scene_seed, ro, rd, near, state, pss, active)
     value_at = make_value_at(med, scene_seed, ro, rd, near, state, pss)
     m = march(med, value_at, ro, rd, near, far_eff, state, pss, u_jitter,

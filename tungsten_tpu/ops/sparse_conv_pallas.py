@@ -9,11 +9,17 @@ every march/bisection/IFT instantiation — collapsing the XLA graph that
 otherwise repeats a ~3k-op subgraph ~10x per bounce — and (b) keeps every
 intermediate in VMEM registers with rays on lanes.
 
-Scope: the raw noise lattice sum only (value path inside the detached march).
-Mean, amplitude, variance normalization and conditioning splats stay in XLA
-where they are cheap and differentiable.  The backward path never enters this
-kernel (the march is stop_gradient'ed; the differentiable single evaluations
-use the XLA path), so no custom VJP is required here.
+Scope: the raw noise lattice sum only.  Mean, amplitude, variance
+normalization and conditioning splats stay in XLA where they are cheap and
+differentiable.
+
+Differentiability: `noise3d_sum` carries a custom VJP.  The forward pass is
+the Mosaic kernel; the backward pass evaluates the analytic derivatives of
+the same lattice sum (w.r.t. the query points, the splat quadratic form m6,
+and the cell radius) through an XLA re-trace of the identical math — the
+manual splat derivatives the reference keeps at GPFunctions.cpp:804-865.
+The bulk of the march is detached (models/media.py), so the backward runs
+only for the few differentiable evaluations (IFT reattachment, conditioning).
 """
 from __future__ import annotations
 
@@ -124,14 +130,92 @@ def _noise_kernel(impulse_count, params_ref, px_ref, py_ref, pz_ref,
     out_ref[:] = total
 
 
-@functools.partial(jax.jit, static_argnames=("impulse_count", "interpret"))
+def _ref_sum(p_space, seed, kernel_r, m6, impulse_count):
+    """XLA re-trace of the kernel's lattice sum — identical math/hashes; used
+    only for the backward pass (jax.vjp) of the custom VJP below."""
+    inv_r = 1.0 / kernel_r
+    px = p_space[:, 0] * inv_r
+    py = p_space[:, 1] * inv_r
+    pz = p_space[:, 2] * inv_r
+    bx, by, bz = jnp.floor(px), jnp.floor(py), jnp.floor(pz)
+    fx, fy, fz = px - bx, py - by, pz - bz
+    ix = bx.astype(jnp.int32).astype(jnp.uint32)
+    iy = by.astype(jnp.int32).astype(jnp.uint32)
+    iz = bz.astype(jnp.int32).astype(jnp.uint32)
+    m00, m11, m22, m01, m02, m12 = (m6[0], m6[1], m6[2], m6[3], m6[4], m6[5])
+    total = jnp.zeros(p_space.shape[0], jnp.float32)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                cx = ix + np.uint32(dx & 0xFFFFFFFF)
+                cy = iy + np.uint32(dy & 0xFFFFFFFF)
+                cz = iz + np.uint32(dz & 0xFFFFFFFF)
+                h = _xxhash32_4(cz, cy, cx, seed) + np.uint32(1)
+                qx = fx - np.float32(dx)
+                qy = fy - np.float32(dy)
+                qz = fz - np.float32(dz)
+                for k in range(impulse_count):
+                    ux = _u01(_xxhash32_2(h, np.uint32(4 * k)))
+                    uy = _u01(_xxhash32_2(h, np.uint32(4 * k + 1)))
+                    uz = _u01(_xxhash32_2(h, np.uint32(4 * k + 2)))
+                    uw = _u01(_xxhash32_2(h, np.uint32(4 * k + 3)))
+                    ddx, ddy, ddz = qx - ux, qy - uy, qz - uz
+                    r2 = ddx * ddx + ddy * ddy + ddz * ddz
+                    abx = kernel_r * ddx
+                    aby = kernel_r * ddy
+                    abz = kernel_r * ddz
+                    q = (m00 * abx * abx + m11 * aby * aby + m22 * abz * abz
+                         + 2.0 * (m01 * abx * aby + m02 * abx * abz
+                                  + m12 * aby * abz))
+                    w = jnp.where(uw < 0.5, -1.0, 1.0)
+                    total = total + jnp.where(r2 < 1.0, w * jnp.exp(-q), 0.0)
+    return total
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _noise3d_sum(p_space, seed, kernel_r, m6, impulse_count, interpret):
+    return _noise3d_sum_fwd(p_space, seed, kernel_r, m6, impulse_count,
+                            interpret)[0]
+
+
+def _noise3d_sum_fwd(p_space, seed, kernel_r, m6, impulse_count, interpret):
+    out = _noise3d_sum_pallas(p_space, seed, kernel_r, m6,
+                              impulse_count=impulse_count,
+                              interpret=interpret)
+    return out, (p_space, seed, kernel_r, m6)
+
+
+def _noise3d_sum_bwd(impulse_count, interpret, res, g):
+    p_space, seed, kernel_r, m6 = res
+    _, vjp = jax.vjp(
+        lambda p, kr, m: _ref_sum(p, seed, kr, m, impulse_count),
+        p_space, kernel_r, m6)
+    dp, dkr, dm6 = vjp(g)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dp, dseed, dkr, dm6
+
+
+_noise3d_sum.defvjp(_noise3d_sum_fwd, _noise3d_sum_bwd)
+
+
 def noise3d_sum(p_space, seed, kernel_r, m6, impulse_count=3,
                 interpret=False):
     """Raw 27-cell impulse sum at p_space [N,3] with per-ray seeds [N].
 
     kernel_r: cell radius (traced scalar); m6: the 6 unique entries of the
     splat quadratic form (xx, yy, zz, xy, xz, yz).  Returns [N] f32.
+    Differentiable w.r.t. p_space / kernel_r / m6 (custom VJP; XLA backward).
     """
+    return _noise3d_sum(jnp.asarray(p_space, jnp.float32),
+                        jnp.asarray(seed, jnp.uint32),
+                        jnp.asarray(kernel_r, jnp.float32),
+                        jnp.asarray(m6, jnp.float32),
+                        int(impulse_count), bool(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("impulse_count", "interpret"))
+def _noise3d_sum_pallas(p_space, seed, kernel_r, m6, impulse_count=3,
+                        interpret=False):
     n = p_space.shape[0]
     n_pad = -(-n // BLK) * BLK
     pad = n_pad - n
