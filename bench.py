@@ -26,26 +26,20 @@ import jax.numpy as jnp
 
 def main():
     from __graft_entry__ import _small_scene
-    from tungsten_tpu.models.integrator import render_rows
+    from tungsten_tpu.models.integrator import render_pass
 
     res = 128
-    rows_per_tile = 32
     scene = _small_scene(res=res, max_bounces=2)
 
-    g = jax.jit(render_rows, static_argnums=(3,))
+    g = jax.jit(render_pass)
 
-    def full_pass(s):
-        tiles = [g(scene, jnp.int32(s), jnp.int32(r0), rows_per_tile)
-                 for r0 in range(0, res, rows_per_tile)]
-        return jnp.concatenate(tiles, axis=0)
+    g(scene, jnp.int32(0)).block_until_ready()  # compile + warmup
 
-    full_pass(0).block_until_ready()  # compile + warmup
-
-    n_passes = 4
+    n_passes = 32
     t0 = time.time()
     acc = None
     for s in range(n_passes):
-        img = full_pass(s + 1)
+        img = g(scene, jnp.int32(s + 1))
         acc = img if acc is None else acc + img
     acc.block_until_ready()
     dt = time.time() - t0

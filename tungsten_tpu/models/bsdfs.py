@@ -218,7 +218,10 @@ def _eval_simple(table, bi, wi, wo):
     alpha = jnp.maximum(table.roughness[bi], 1e-3)
     dist = table.dist[bi]
     m = wi + wo
-    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    # sqrt(max(.,eps)) keeps the backward finite at m == 0 (wo == -wi rows:
+    # jnp.linalg.norm has a NaN gradient at exactly zero)
+    m = m / jnp.sqrt(jnp.maximum(
+        jnp.sum(m * m, axis=-1, keepdims=True), 1e-24))
     m = m * jnp.sign(m[..., 2:3])  # upper hemisphere
     wi_dot_m = jnp.sum(wi * m, axis=-1)
     D = nd.d_ndf(dist, m, alpha)
@@ -246,7 +249,7 @@ def _eval_simple(table, bi, wi, wo):
     opp_side = (czi > 0) != (czo > 0)
     # transmission half-vector (Walter 2007 eq. 16); eta_i/eta_o relative
     ht = -(eta_rel[..., None] * wi + wo)
-    ht = ht / jnp.maximum(jnp.linalg.norm(ht, axis=-1, keepdims=True), 1e-12)
+    ht = ht / jnp.sqrt(jnp.maximum(jnp.sum(ht * ht, axis=-1, keepdims=True), 1e-24))
     ht = ht * jnp.sign(ht[..., 2:3])
     i_dot_ht = jnp.sum(wi * ht, axis=-1)
     o_dot_ht = jnp.sum(wo * ht, axis=-1)
@@ -308,7 +311,10 @@ def _pdf_simple(table, bi, wi, wo):
     alpha = jnp.maximum(table.roughness[bi], 1e-3)
     dist = table.dist[bi]
     m = wi + wo
-    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    # sqrt(max(.,eps)) keeps the backward finite at m == 0 (wo == -wi rows:
+    # jnp.linalg.norm has a NaN gradient at exactly zero)
+    m = m / jnp.sqrt(jnp.maximum(
+        jnp.sum(m * m, axis=-1, keepdims=True), 1e-24))
     m = m * jnp.sign(m[..., 2:3])
     wi_dot_m = jnp.sum(wi * m, axis=-1)
     p_spec = nd.pdf_m(dist, wi, m, alpha) / jnp.maximum(
@@ -327,7 +333,7 @@ def _pdf_simple(table, bi, wi, wo):
     eta_rel = jnp.where(czi < 0.0, ior, 1.0 / ior)
     opp = (czi > 0) != (czo > 0)
     ht = -(eta_rel[..., None] * wi + wo)
-    ht = ht / jnp.maximum(jnp.linalg.norm(ht, axis=-1, keepdims=True), 1e-12)
+    ht = ht / jnp.sqrt(jnp.maximum(jnp.sum(ht * ht, axis=-1, keepdims=True), 1e-24))
     ht = ht * jnp.sign(ht[..., 2:3])
     i_dot_ht = jnp.sum(wi * ht, axis=-1)
     o_dot_ht = jnp.sum(wo * ht, axis=-1)
@@ -497,12 +503,11 @@ def _sample_simple(table, bi, wi, u):
     lobe = jnp.stack([st_g * jnp.cos(phi_g), st_g * jnp.sin(phi_g), ct_g],
                      axis=-1)
     # frame around mirror direction
-    mz = wo_m / jnp.maximum(jnp.linalg.norm(wo_m, axis=-1, keepdims=True),
-                            1e-12)
+    mz = wo_m / jnp.sqrt(jnp.maximum(jnp.sum(wo_m * wo_m, axis=-1, keepdims=True), 1e-24))
     hx = jnp.where(jnp.abs(mz[..., 0:1]) < 0.9,
                    jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
     mt = jnp.cross(hx, mz)
-    mt = mt / jnp.maximum(jnp.linalg.norm(mt, axis=-1, keepdims=True), 1e-12)
+    mt = mt / jnp.sqrt(jnp.maximum(jnp.sum(mt * mt, axis=-1, keepdims=True), 1e-24))
     mb = jnp.cross(mz, mt)
     wo_ph_g = (lobe[..., 0:1] * mt + lobe[..., 1:2] * mb
                + lobe[..., 2:3] * mz)
@@ -647,7 +652,10 @@ def eval_bsdf(table, bi, wi, wo):
     alpha = jnp.maximum(table.roughness[bi], 1e-3)
     dist = table.dist[bi]
     m = wi + wo
-    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    # sqrt(max(.,eps)) keeps the backward finite at m == 0 (wo == -wi rows:
+    # jnp.linalg.norm has a NaN gradient at exactly zero)
+    m = m / jnp.sqrt(jnp.maximum(
+        jnp.sum(m * m, axis=-1, keepdims=True), 1e-24))
     m = m * jnp.sign(m[..., 2:3])
     wi_dot_m = jnp.sum(wi * m, axis=-1)
     F_m, _ = dielectric_fresnel(1.0 / ior, jnp.abs(wi_dot_m))
@@ -689,7 +697,10 @@ def pdf_bsdf(table, bi, wi, wo):
     alpha = jnp.maximum(table.roughness[bi], 1e-3)
     dist = table.dist[bi]
     m = wi + wo
-    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    # sqrt(max(.,eps)) keeps the backward finite at m == 0 (wo == -wi rows:
+    # jnp.linalg.norm has a NaN gradient at exactly zero)
+    m = m / jnp.sqrt(jnp.maximum(
+        jnp.sum(m * m, axis=-1, keepdims=True), 1e-24))
     m = m * jnp.sign(m[..., 2:3])
     wi_dot_m = jnp.sum(wi * m, axis=-1)
     p_top = nd.pdf_m(dist, wi, m, alpha) / jnp.maximum(

@@ -111,6 +111,18 @@ def _power_heuristic(a, b):
     return a * a / jnp.maximum(a * a + b * b, 1e-20)
 
 
+def _reattach_ratio(f):
+    """f / stop_gradient(f): primal == 1, gradient == grad(log f).
+
+    The detached-sampling estimator (SURVEY.md §7) detaches every sampling
+    density; multiplying a detached-weight contribution by this ratio
+    restores the integrand's differentiable dependence (d contrib/d theta =
+    grad f / pdf_detached) without changing the primal value."""
+    fd = jax.lax.stop_gradient(f)
+    ok = jnp.abs(fd) > 1e-12
+    return jnp.where(ok, f / jnp.where(ok, fd, 1.0), 1.0)
+
+
 def _cat(*xs):
     return jnp.concatenate(xs, axis=0)
 
@@ -222,6 +234,23 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
         light_e = jnp.where(is_env[:, None],
                             jax.vmap(lambda w: ev.env_eval(scene.env, w))(de),
                             light_e)
+
+    # Area-form reattachment for flat area lights (quad/disk): hold the
+    # sampled light point fixed and let the geometric factor cos/r^2 vary
+    # with the differentiable vertex position.  The estimator f*Le/pdf_sa
+    # equals f*Le*G*A in area measure (Quad.cpp:172-186); detaching the
+    # whole weight severs d contrib/d p_vtx, which is the main channel for
+    # crossing-position (IFT) hyperparameter gradients.
+    lk = scene.prims.kind[jnp.maximum(light, 0)]
+    is_area = ((lk == pr.PRIM_QUAD) | (lk == pr.PRIM_DISK)) & ~is_env
+    q_l = jax.lax.stop_gradient(p_vtx + d1 * ldist[:, None])
+    dv = q_l - p_vtx
+    r2q = jnp.maximum(dot(dv, dv), 1e-12)
+    d1n = dv / jnp.sqrt(r2q)[:, None]
+    n_l = jax.lax.stop_gradient(scene.prims.n[jnp.maximum(light, 0)])
+    G1 = jnp.abs(dot(n_l, d1n)) / r2q
+    ratio1 = jnp.where(is_area, _reattach_ratio(G1), 1.0)
+    d1 = jnp.where(is_area[:, None], d1n, d1)
 
     # surface eval
     wo_local = jax.vmap(frame_to_local)(tfr, bfr, normal, d1)
@@ -376,9 +405,23 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
 
     mis1 = jnp.where(disable_mis, 1.0, _power_heuristic(lpdf, mat_pdf1))
     w_est1 = jax.lax.stop_gradient(tr1 * mis1 / jnp.maximum(lpdf, 1e-9)
-                                   * light_weight)
+                                   * light_weight) * ratio1
     contrib1 = jnp.where((valid1 & (tr1 > 0))[:, None],
                          f1 * light_e * w_est1[:, None], 0.0)
+    # strategy-2 weight reattachment: w2 was computed as f/pdf with the pdf
+    # analytically cancelled (e.g. cosine-sampled lambert => constant), which
+    # severs d f/d theta; restore it with the primal-1 ratio f/sg(f)
+    f2_surf = jax.vmap(lambda i, wi, wo: bs.eval_bsdf(scene.bsdfs, i, wi,
+                                                      wo))(
+        bsdf_idx, wi_local, jax.lax.stop_gradient(s_surf["wo"]))
+    f2 = jnp.where(is_vol[:, None], jnp.zeros((R, 3)), f2_surf)
+    for mi, medium in enumerate(scene.media):
+        in_m = is_vol & (med_idx == mi)
+        if not ph.phase_is_specular(medium, scene.bsdfs):
+            f2_m = ph.eval_phase(medium, scene.bsdfs, rd,
+                                 jax.lax.stop_gradient(d2), aniso)
+            f2 = jnp.where(in_m[:, None], f2_m, f2)
+    w2 = w2 * _reattach_ratio(f2)
     mis2 = _power_heuristic(pdf2, ld_pdf2)
     w_est2 = jax.lax.stop_gradient(tr2 * mis2 * light_weight)
     contrib2 = jnp.where((hit_light2 & (tr2 > 0))[:, None],
@@ -583,8 +626,16 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
                           axis=-1)
             psamp = ph.sample_phase(medium, scene.bsdfs, rd, med_aniso, u)
             new_rd = jnp.where(in_m[:, None], psamp["w"], new_rd)
-            throughput = throughput * jnp.where(in_m[:, None],
-                                                psamp["weight"], 1.0)
+            w_m = psamp["weight"]
+            if not ph.phase_is_specular(medium, scene.bsdfs):
+                # detached-sampling reattachment: the sampled weight has the
+                # pdf analytically cancelled; f/sg(f) restores d f/d theta
+                # (theta enters through med_aniso = the GP gradient)
+                f_m = ph.eval_phase(medium, scene.bsdfs, rd,
+                                    jax.lax.stop_gradient(psamp["w"]),
+                                    med_aniso)
+                w_m = w_m * _reattach_ratio(f_m)
+            throughput = throughput * jnp.where(in_m[:, None], w_m, 1.0)
             phase_ok = phase_ok & jnp.where(in_m, psamp["valid"], True)
             vol_was_spec = ~(scene.enable_volume_light_sampling
                              & ((medium_bounces > 0)
@@ -610,8 +661,14 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
         is_fwd = jax.vmap(lambda i: bs.is_forward(scene.bsdfs, i))(bsdf_idx)
         wo_world = jnp.where((surf_scatter & is_fwd)[:, None], rd, wo_world)
 
-        throughput = throughput * jnp.where(surf_scatter[:, None],
-                                            s["weight"], 1.0)
+        # reattach non-specular surface weights (f/sg(f); the shading frame
+        # varies differentiably with the hit position on curved primitives)
+        f_s = jax.vmap(lambda i, wi, wo: bs.eval_bsdf(scene.bsdfs, i, wi,
+                                                      wo))(
+            bsdf_idx, wi_local, jax.lax.stop_gradient(s["wo"]))
+        s_w = s["weight"] * jnp.where(s["specular"][:, None], 1.0,
+                                      _reattach_ratio(f_s))
+        throughput = throughput * jnp.where(surf_scatter[:, None], s_w, 1.0)
         was_specular = jnp.where(surf_scatter, s["specular"], was_specular)
 
         geom_back = dot(wo_world, g_normal) < 0.0

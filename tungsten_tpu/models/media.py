@@ -68,6 +68,10 @@ class Medium:
     law: object = None  # transmittance.TransmittanceLaw (None = exponential)
     field_params: jnp.ndarray = None  # [8] heterogeneous density params
     grid: jnp.ndarray = None  # [D,H,W] voxel densities
+    bounds: jnp.ndarray = None  # [2,3] world AABB of the bounding prims;
+    # clamps the GPIS march for rays that leak past the boundary geometry
+    # (otherwise one escaped ray marches the full Ray::infinity clamp of
+    # 2000 units, GaussianProcessMedium.cpp:228-231, stalling the batch)
     kind: str = static_field(default=GPIS_SPARSE_CONV)
     min_step: int = static_field(default=8)
     max_march_steps: int = static_field(default=8192)
@@ -138,6 +142,22 @@ def _select(mask, a, b):
 def _detach(tree):
     """stop_gradient over a pytree (Nones/static fields pass through)."""
     return jax.tree_util.tree_map(jax.lax.stop_gradient, tree)
+
+
+def _clamp_far_to_bounds(med, ro, rd, near, far):
+    """Clamp the march interval to the medium's bounding AABB exit (slab
+    test).  Inside the boundary geometry this is a no-op; for rays that
+    escaped through edge/eps gaps it bounds the march."""
+    if med.bounds is None:
+        return far
+    lo, hi = med.bounds[0], med.bounds[1]
+    inv = 1.0 / jnp.where(jnp.abs(rd) < 1e-9,
+                          jnp.where(rd < 0, -1e-9, 1e-9), rd)
+    ta = (lo[None, :] - ro) * inv
+    tb = (hi[None, :] - ro) * inv
+    t_exit = jnp.min(jnp.maximum(ta, tb), axis=-1)
+    margin = jnp.maximum(med.step_size, 1e-3) * 2.0
+    return jnp.minimum(far, jnp.maximum(t_exit, near) + margin)
 
 
 # ---------------------------------------------------------------------------
@@ -255,8 +275,10 @@ def march(med, value_at, ro, rd, near, far, state, pss, u_jitter, active,
     t1 = near + step * u_jitter
     offs = jnp.arange(S, dtype=jnp.float32)[:, None]  # [S,1]
 
+    max_blocks = max(med.max_march_steps // S, 1)
+
     def cond(c):
-        return jnp.any(c["marching"])
+        return jnp.any(c["marching"]) & (c["it"] < max_blocks)
 
     def body(c):
         t = c["t"]  # [R] block start
@@ -284,6 +306,7 @@ def march(med, value_at, ro, rd, near, far, state, pss, u_jitter, active,
         last_f = fs[S - 1]
 
         return {
+            "it": c["it"] + 1,
             "t": jnp.where(c["marching"], t + step * S, t),
             "pf": jnp.where(c["marching"], last_f, c["pf"]),
             "sign0": new_sign0,
@@ -294,6 +317,7 @@ def march(med, value_at, ro, rd, near, far, state, pss, u_jitter, active,
         }
 
     init = {
+        "it": jnp.int32(0),
         "t": t1, "pf": f0, "sign0": sign0,
         "first_block": jnp.ones(R, bool),
         "crossed": jnp.zeros(R, bool),
@@ -641,6 +665,7 @@ def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
     should be killed: wrong-sided/zero gradient,
     GaussianProcessMedium.cpp:291-314)."""
     far_eff = jnp.where(far < 1e30, far, near + 2000.0)  # Ray::infinity clamp (GaussianProcessMedium.cpp:228-231)
+    far_eff = _clamp_far_to_bounds(med, ro, rd, near, far_eff)
 
     if med.kind == GPIS_FUNCTION_SPACE:
         return _sample_distance_fs(med, scene_seed, ro, rd, near, far_eff,
@@ -731,6 +756,7 @@ def transmittance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
     Returns transmittance[R] in {0,1}.
     """
     far_eff = jnp.where(far < 1e30, far, near + 2000.0)  # Ray::infinity clamp (GaussianProcessMedium.cpp:228-231)
+    far_eff = _clamp_far_to_bounds(med, ro, rd, near, far_eff)
     if med.kind == GPIS_FUNCTION_SPACE:
         res, _ = _sample_distance_fs(med, scene_seed, ro, rd, near, far_eff,
                                      state, pss, u_jitter, active)

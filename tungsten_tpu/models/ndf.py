@@ -95,7 +95,7 @@ def sample_vndf_ggx(wi, alpha, u1, u2):
     """Heitz 2018 GGX VNDF sampling.  wi must have wi_z > 0."""
     v = jnp.stack([alpha * wi[..., 0], alpha * wi[..., 1], wi[..., 2]],
                   axis=-1)
-    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    v = v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-24))
     lensq = v[..., 0] ** 2 + v[..., 1] ** 2
     inv = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-12))
     t1 = jnp.where(lensq[..., None] > 1e-7,
@@ -113,7 +113,7 @@ def sample_vndf_ggx(wi, alpha, u1, u2):
     nh = (p1[..., None] * t1 + p2[..., None] * t2v + p3[..., None] * v)
     m = jnp.stack([alpha * nh[..., 0], alpha * nh[..., 1],
                    jnp.maximum(nh[..., 2], 1e-6)], axis=-1)
-    return m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    return m / jnp.sqrt(jnp.maximum(jnp.sum(m * m, axis=-1, keepdims=True), 1e-24))
 
 
 def sample_vndf_beckmann(wi, alpha, u1, u2):

@@ -540,6 +540,32 @@ _PRIM_KINDS = {"quad": pr.PRIM_QUAD, "sphere": pr.PRIM_SPHERE,
                "cube": pr.PRIM_CUBE, "disk": pr.PRIM_DISK}
 
 
+def _prim_aabb(p):
+    """World AABB (lo, hi) of a parsed primitive entry, or (None, None)."""
+    tf = np.asarray(p["transform"], np.float32)
+    pos, lin = tf[:3, 3], tf[:3, :3]
+    k = p["kind"]
+    if k == pr.PRIM_QUAD:
+        e0 = lin @ np.array([1.0, 0, 0], np.float32)
+        e1 = lin @ np.array([0, 0, 1.0], np.float32)
+        base = pos - 0.5 * e0 - 0.5 * e1
+        cs = np.stack([base, base + e0, base + e1, base + e0 + e1])
+        return cs.min(0), cs.max(0)
+    if k == pr.PRIM_SPHERE:
+        r = float(np.linalg.norm(lin, axis=0).max())
+        return pos - r, pos + r
+    if k == pr.PRIM_CUBE:
+        h = 0.5 * np.abs(lin).sum(axis=1)
+        return pos - h, pos + h
+    if k == pr.PRIM_DISK:
+        r = float(np.linalg.norm(lin, axis=0).max())
+        return pos - r, pos + r
+    if k == pr.PRIM_MESH:
+        v = np.asarray(p["mesh"]["pos"], np.float32) @ lin.T + pos[None, :]
+        return v.min(0), v.max(0)
+    return None, None
+
+
 def parse_env(p: dict, base_dir: str):
     """infinite_sphere / infinite_sphere_cap / skydome -> EnvLight
     (src/core/primitives/InfiniteSphere.cpp:64-68,
@@ -673,6 +699,28 @@ def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
 
     soa = pr.build_soa(prims)
     lights = np.nonzero(np.asarray(soa.is_light))[0].astype(np.int32)
+
+    # per-medium bounding AABB from the primitives that declare it interior —
+    # bounds the GPIS march for rays that leak past boundary geometry
+    # (models/media.py _clamp_far_to_bounds)
+    import dataclasses as _dc
+    for mi in range(len(media)):
+        if media[mi].kind not in (md.GPIS_SPARSE_CONV, md.GPIS_WEIGHT_SPACE,
+                                  md.GPIS_FUNCTION_SPACE):
+            continue
+        los, his = [], []
+        for p in prims:
+            if p.get("int_medium") != mi:
+                continue
+            lo, hi = _prim_aabb(p)
+            if lo is not None:
+                los.append(lo)
+                his.append(hi)
+        if los and mi != cam_medium:
+            lo = np.min(np.stack(los), axis=0) - 1e-3
+            hi = np.max(np.stack(his), axis=0) + 1e-3
+            media[mi] = _dc.replace(media[mi],
+                                    bounds=jnp.asarray(np.stack([lo, hi])))
 
     rdoc = doc.get("renderer", {})
     integ = doc.get("integrator", {})
