@@ -95,8 +95,9 @@ def test_hetero_exponential_tau():
     rd = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (R, 1))
     near = jnp.zeros(R)
     far = jnp.full(R, 2.0)
-    _, tau = md._optical_depth_march(med, ro, rd, near, far,
-                                     jnp.full(R, 1e30))
+    _, dtot, _ = md._density_march(med, ro, rd, near, far,
+                                   jnp.full(R, 1e30))
+    tau = dtot * sig
     # analytic: int_0^2 sig*exp(-fall*t) dt
     ana = sig / fall * (1.0 - np.exp(-fall * 2.0))
     np.testing.assert_allclose(np.asarray(tau), ana, rtol=1e-3)

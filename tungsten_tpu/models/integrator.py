@@ -138,9 +138,10 @@ def _cat_tree(a, b):
 def shadow_walk(scene, ro, rd, dist, light_prim, med_idx, med_state, pss,
                 u_jitter, active):
     """Walk forward-lobed surfaces x medium transmittance toward a light.
-    Returns visibility/throughput [N] (scalar since our media are gray)."""
+    Returns visibility/throughput [N,3] (chromatic classic media; binary
+    per-channel for GPIS media)."""
     N = ro.shape[0]
-    thr = jnp.ones(N, jnp.float32)
+    thr = jnp.ones((N, 3), jnp.float32)
     cur_o = ro
     remaining = dist
     cur_med = med_idx
@@ -157,7 +158,7 @@ def shadow_walk(scene, ro, rd, dist, light_prim, med_idx, med_state, pss,
         fwd = jax.vmap(lambda b: bs.is_forward(scene.bsdfs, b))(
             scene.prims.bsdf[hit_prim])
         blocked = hit & ~is_light_prim & ~fwd
-        thr = jnp.where(blocked, 0.0, thr)
+        thr = jnp.where(blocked[:, None], 0.0, thr)
         alive = alive & ~blocked
 
         seg_far = jnp.where(hit & fwd & ~is_light_prim, isect["t"], remaining)
@@ -168,7 +169,8 @@ def shadow_walk(scene, ro, rd, dist, light_prim, med_idx, med_state, pss,
                                   jnp.zeros(N), seg_far, state, pss,
                                   u_jitter, in_m)
             thr = thr * tr
-            alive = alive & (jnp.where(in_m, tr, 1.0) > 0.0)
+            alive = alive & (jnp.where(in_m, jnp.max(tr, axis=-1), 1.0)
+                             > 0.0)
 
         if hop == scene.shadow_hops - 1:
             break
@@ -404,10 +406,11 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
     tr1, tr2 = tr[:R], tr[R:]
 
     mis1 = jnp.where(disable_mis, 1.0, _power_heuristic(lpdf, mat_pdf1))
-    w_est1 = jax.lax.stop_gradient(tr1 * mis1 / jnp.maximum(lpdf, 1e-9)
-                                   * light_weight) * ratio1
-    contrib1 = jnp.where((valid1 & (tr1 > 0))[:, None],
-                         f1 * light_e * w_est1[:, None], 0.0)
+    w_est1 = jax.lax.stop_gradient(
+        tr1 * (mis1 / jnp.maximum(lpdf, 1e-9) * light_weight)[:, None]
+    ) * ratio1[:, None]
+    contrib1 = jnp.where((valid1 & (jnp.max(tr1, axis=-1) > 0))[:, None],
+                         f1 * light_e * w_est1, 0.0)
     # strategy-2 weight reattachment: w2 was computed as f/pdf with the pdf
     # analytically cancelled (e.g. cosine-sampled lambert => constant), which
     # severs d f/d theta; restore it with the primal-1 ratio f/sg(f)
@@ -423,9 +426,9 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
             f2 = jnp.where(in_m[:, None], f2_m, f2)
     w2 = w2 * _reattach_ratio(f2)
     mis2 = _power_heuristic(pdf2, ld_pdf2)
-    w_est2 = jax.lax.stop_gradient(tr2 * mis2 * light_weight)
-    contrib2 = jnp.where((hit_light2 & (tr2 > 0))[:, None],
-                         w2 * light_e2 * w_est2[:, None], 0.0)
+    w_est2 = jax.lax.stop_gradient(tr2 * (mis2 * light_weight)[:, None])
+    contrib2 = jnp.where((hit_light2 & (jnp.max(tr2, axis=-1) > 0))[:, None],
+                         w2 * light_e2 * w_est2, 0.0)
     if _os.environ.get("TUNGSTEN_TPU_DEBUG_NEE"):
         return contrib1 + contrib2, dict(c1=contrib1, c2=contrib2, tr1=tr1,
                                          tr2=tr2, f1=f1, valid1=valid1)

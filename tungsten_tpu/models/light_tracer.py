@@ -51,9 +51,10 @@ def _splat(film, cam, p, beta_f, med_idx, med_state, pss, uj, scene, gate):
                      c["dist"] * (1.0 - 1e-3),
                      jnp.full(p.shape[0], -2, jnp.int32), med_idx,
                      med_state, pss, uj, valid)
-    contrib = beta_f * (c["we"] * tr
-                        / jnp.maximum(c["dist"] ** 2, 1e-8))[:, None]
-    contrib = jnp.where((valid & (tr > 0.0))[:, None], contrib, 0.0)
+    contrib = beta_f * tr * (c["we"]
+                             / jnp.maximum(c["dist"] ** 2, 1e-8))[:, None]
+    contrib = jnp.where((valid & (jnp.max(tr, axis=-1) > 0.0))[:, None],
+                        contrib, 0.0)
     contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
     flat = c["py"] * cam.res_x + c["px"]
     return film.at[flat].add(contrib)

@@ -415,41 +415,45 @@ def _law(med):
 
 def _sample_distance_homogeneous(med, ro, rd, near, far, state, pss,
                                  u_jitter, active):
-    """HomogeneousMedium::sampleDistance with a pluggable transmittance law
-    (media/HomogeneousMedium.cpp; Transmittance.hpp:31-43): tau* is sampled
-    in optical depth through the law's surface/medium-started inverse CDF."""
+    """HomogeneousMedium::sampleDistance, chromatic: sample a free-flight
+    in one uniformly-chosen color channel, weight by the per-channel
+    transmittance over the averaged pdf (HomogeneousMedium.cpp:83-103)."""
     from . import transmittance as tr
     law = _law(med)
-    sig_t = jnp.maximum(jnp.mean(med.sigma_t), 1e-9)
-    sig_s = jnp.mean(med.sigma_s * med.density)
-    u2 = trng.uniform(trng.xxhash32_4(pss[:, 0], pss[:, 1], pss[:, 2],
-                                      pss[:, 3] ^ jnp.uint32(0x7E57A110)),
-                      jnp.uint32(0))
+    sig_t = jnp.maximum(med.sigma_t, 1e-9)  # [3]
+    sig_s = med.sigma_s * med.density  # [3]
+    key = trng.xxhash32_4(pss[:, 0], pss[:, 1], pss[:, 2],
+                          pss[:, 3] ^ jnp.uint32(0x7E57A110))
+    u2 = trng.uniform(key, jnp.uint32(0))
+    uc = trng.uniform(key, jnp.uint32(1))
+    comp = jnp.minimum((uc * 3.0).astype(jnp.int32), 2)  # nextDiscrete(3)
+    sig_tc = sig_t[comp]  # [R]
     u1 = jnp.clip(u_jitter, 1e-7, 1.0 - 1e-7)
     start_surf = state.first_scatter
     tau_s = jnp.where(start_surf,
                       tr.sample_tau(law, u1, u2, True),
                       tr.sample_tau(law, u1, u2, False))
-    t = near + tau_s / sig_t
+    t = near + tau_s / sig_tc
     far_eff = jnp.where(far < 1e30, far, near + 2000.0)
     hit = active & (t < far_eff)
     t_out = jnp.where(hit, t, far_eff)
-    tau_hit = jnp.clip(tau_s, 0.0, 1e6)
-    tau_far = (far_eff - near) * sig_t
-    # scattered: weight = sigma_s * Tr(tau)/pdf(tau); exited:
-    # Tr(tau_far)/P_surface(tau_far)  (HomogeneousMedium.cpp sampleDistance)
+    tau = (t_out - near)[:, None] * sig_t[None, :]  # [R,3]
+
     def regimes(ss):
-        ev_m = tr.eval_tr(law, tau_hit, ss, False)
-        pdf_m = tr.medium_pdf(law, tau_hit, ss) * sig_t
-        ev_s = tr.eval_tr(law, tau_far, ss, True)
-        p_s = tr.surface_probability(law, tau_far, ss)
-        return (sig_s / sig_t * ev_m * sig_t / jnp.maximum(pdf_m, 1e-12),
-                ev_s / jnp.maximum(p_s, 1e-12))
+        ev_m = tr.eval_tr(law, tau, ss, False)  # [R,3]
+        pdf_m = jnp.mean(sig_t[None, :] * tr.medium_pdf(law, tau, ss),
+                         axis=-1)  # [R] channel-avg (.avg() in reference)
+        w_m = (sig_s[None, :] * tr.sigma_bar(law) * ev_m
+               / jnp.maximum(pdf_m, 1e-12)[:, None])
+        ev_s = tr.eval_tr(law, tau, ss, True)
+        p_s = jnp.mean(tr.surface_probability(law, tau, ss), axis=-1)
+        w_s = ev_s / jnp.maximum(p_s, 1e-12)[:, None]
+        return w_m, w_s
     wm_t, ws_t = regimes(True)
     wm_f, ws_f = regimes(False)
-    w_med = jnp.where(start_surf, wm_t, wm_f)
-    w_sur = jnp.where(start_surf, ws_t, ws_f)
-    weight = jnp.where(hit, w_med, w_sur)[:, None] * jnp.ones((1, 3))
+    w_med = jnp.where(start_surf[:, None], wm_t, wm_f)
+    w_sur = jnp.where(start_surf[:, None], ws_t, ws_f)
+    weight = jnp.where(hit[:, None], w_med, w_sur)
     new_state = replace(
         state,
         first_scatter=jnp.where(active, False, state.first_scatter),
@@ -510,11 +514,10 @@ def hetero_density(med, p):
 _HETERO_STEPS = 256
 
 
-def _optical_depth_march(med, ro, rd, near, far, tau_target):
-    """Fixed-step accumulation of tau = int sigma_t rho dt; returns
-    (t_at_target [R] (= far when never reached), tau_total [R]).
-    Uniform trip count: one [S,R] block on the VPU."""
-    sig_t = jnp.maximum(jnp.mean(med.sigma_t), 1e-9)
+def _density_march(med, ro, rd, near, far, d_target):
+    """Fixed-step accumulation of D(t) = int rho dt; returns
+    (t where D reaches d_target [R] (= far when never), D_total [R],
+    rho at the hit point [R]).  Uniform trip count: one [S,R] VPU block."""
     R = ro.shape[0]
     dt = (far - near) / _HETERO_STEPS
     s = jnp.arange(_HETERO_STEPS, dtype=jnp.float32)
@@ -522,54 +525,68 @@ def _optical_depth_march(med, ro, rd, near, far, tau_target):
     ps = ro[None, :, :] + ts[:, :, None] * rd[None, :, :]        # [S,R,3]
     rho = hetero_density(med, ps.reshape(-1, 3)).reshape(
         _HETERO_STEPS, R)
-    dtau = sig_t * rho * dt[None, :]
-    cum = jnp.cumsum(dtau, axis=0)
-    tau_total = cum[-1]
-    reached = cum >= tau_target[None, :]
+    dD = rho * dt[None, :]
+    cum = jnp.cumsum(dD, axis=0)
+    d_total = cum[-1]
+    reached = cum >= d_target[None, :]
     idx = jnp.argmax(reached, axis=0)
     any_r = jnp.any(reached, axis=0)
     cum_prev = jnp.where(idx > 0,
                          jnp.take_along_axis(
                              cum, jnp.maximum(idx - 1, 0)[None, :],
                              axis=0)[0], 0.0)
-    d_here = jnp.take_along_axis(dtau, idx[None, :], axis=0)[0]
-    frac = jnp.clip((tau_target - cum_prev) / jnp.maximum(d_here, 1e-12),
+    d_here = jnp.take_along_axis(dD, idx[None, :], axis=0)[0]
+    rho_hit = jnp.take_along_axis(rho, idx[None, :], axis=0)[0]
+    frac = jnp.clip((d_target - cum_prev) / jnp.maximum(d_here, 1e-12),
                     0.0, 1.0)
     t_hit = near + (idx.astype(jnp.float32) + frac) * dt
-    return jnp.where(any_r, t_hit, far), tau_total
+    return jnp.where(any_r, t_hit, far), d_total, jnp.where(
+        any_r, rho_hit, 0.0)
 
 
 def _sample_distance_hetero(med, ro, rd, near, far, state, pss, u_jitter,
                             active):
+    """Exponential/Atmospheric/Voxel sampleDistance, chromatic: sample a
+    per-channel free-flight density target, march the density integral,
+    weight by per-channel transmittance over the channel-averaged pdf
+    (ExponentialMedium.cpp:124-146)."""
     from . import transmittance as tr
     law = _law(med)
+    sig_t = jnp.maximum(med.sigma_t, 1e-9)  # [3]
+    sig_s = med.sigma_s * med.density  # [3]
     far_eff = jnp.where(far < 1e30, far, near + 2000.0)
-    u2 = trng.uniform(trng.xxhash32_4(pss[:, 0], pss[:, 1], pss[:, 2],
-                                      pss[:, 3] ^ jnp.uint32(0x48E7E120)),
-                      jnp.uint32(0))
+    key = trng.xxhash32_4(pss[:, 0], pss[:, 1], pss[:, 2],
+                          pss[:, 3] ^ jnp.uint32(0x48E7E120))
+    u2 = trng.uniform(key, jnp.uint32(0))
+    uc = trng.uniform(key, jnp.uint32(1))
+    comp = jnp.minimum((uc * 3.0).astype(jnp.int32), 2)
+    sig_tc = sig_t[comp]
     u1 = jnp.clip(u_jitter, 1e-7, 1.0 - 1e-7)
     start_surf = state.first_scatter
     tau_s = jnp.where(start_surf, tr.sample_tau(law, u1, u2, True),
                       tr.sample_tau(law, u1, u2, False))
-    t_hit, tau_total = _optical_depth_march(med, ro, rd, near, far_eff,
-                                            tau_s)
+    t_hit, d_total, rho_hit = _density_march(med, ro, rd, near, far_eff,
+                                             tau_s / sig_tc)
     hit = active & (t_hit < far_eff)
     t_out = jnp.where(hit, t_hit, far_eff)
-    sig_s_bar = jnp.mean(med.sigma_s * med.density)
-    sig_t_bar = jnp.maximum(jnp.mean(med.sigma_t), 1e-9)
+    d_at = jnp.where(hit, tau_s / sig_tc, d_total)  # density integral at t
+    tau = d_at[:, None] * sig_t[None, :]  # [R,3]
 
     def regimes(ss):
-        ev_m = tr.eval_tr(law, tau_s, ss, False)
-        pdf_m = tr.medium_pdf(law, tau_s, ss)
-        ev_s = tr.eval_tr(law, tau_total, ss, True)
-        p_s = tr.surface_probability(law, tau_total, ss)
-        return (ev_m / jnp.maximum(pdf_m, 1e-12),
-                ev_s / jnp.maximum(p_s, 1e-12))
+        ev_m = tr.eval_tr(law, tau, ss, False)
+        pdf_m = jnp.mean(rho_hit[:, None] * sig_t[None, :]
+                         * tr.medium_pdf(law, tau, ss), axis=-1)
+        w_m = (rho_hit[:, None] * sig_s[None, :] * tr.sigma_bar(law) * ev_m
+               / jnp.maximum(pdf_m, 1e-12)[:, None])
+        ev_s = tr.eval_tr(law, tau, ss, True)
+        p_s = jnp.mean(tr.surface_probability(law, tau, ss), axis=-1)
+        w_s = ev_s / jnp.maximum(p_s, 1e-12)[:, None]
+        return w_m, w_s
     wm_t, ws_t = regimes(True)
     wm_f, ws_f = regimes(False)
-    w_med = jnp.where(start_surf, wm_t, wm_f) * (sig_s_bar / sig_t_bar)
-    w_sur = jnp.where(start_surf, ws_t, ws_f)
-    weight = jnp.where(hit, w_med, w_sur)[:, None] * jnp.ones((1, 3))
+    w_med = jnp.where(start_surf[:, None], wm_t, wm_f)
+    w_sur = jnp.where(start_surf[:, None], ws_t, ws_f)
+    weight = jnp.where(hit[:, None], w_med, w_sur)
     new_state = replace(
         state,
         first_scatter=jnp.where(active, False, state.first_scatter),
@@ -753,34 +770,39 @@ def transmittance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
     The caller passes a *cloned* state (NEE semantics: TraceBase.cpp:291-294
     sets firstScatter=true for surface NEE; volume NEE keeps conditioning and
     overrides lastAniso via phase->evalGrad, TraceBase.cpp:370-374).
-    Returns transmittance[R] in {0,1}.
+    Returns transmittance[R,3] (binary {0,1} per channel for GPIS media;
+    chromatic law transmittance for classic media).
     """
     far_eff = jnp.where(far < 1e30, far, near + 2000.0)  # Ray::infinity clamp (GaussianProcessMedium.cpp:228-231)
     far_eff = _clamp_far_to_bounds(med, ro, rd, near, far_eff)
     if med.kind == GPIS_FUNCTION_SPACE:
         res, _ = _sample_distance_fs(med, scene_seed, ro, rd, near, far_eff,
                                      state, pss, u_jitter, active)
-        return jnp.where(active, jnp.where(res["exited"], 1.0, 0.0), 1.0)
+        t1 = jnp.where(active, jnp.where(res["exited"], 1.0, 0.0), 1.0)
+        return jnp.broadcast_to(t1[:, None], (t1.shape[0], 3))
     if med.kind == MEDIUM_HOMOGENEOUS:
-        # gray law transmittance (HomogeneousMedium::transmittance; shadow
-        # rays end on a surface/light so endOnSurface=true)
+        # chromatic law transmittance (HomogeneousMedium::transmittance;
+        # shadow rays end on a surface/light so endOnSurface=true)
         from . import transmittance as tr
         law = _law(med)
-        tau = jnp.mean(med.sigma_t) * (far_eff - near)
+        tau = med.sigma_t[None, :] * (far_eff - near)[:, None]  # [R,3]
         tr_s = tr.eval_tr(law, tau, True, True)
         tr_m = tr.eval_tr(law, tau, False, True)
-        return jnp.where(active,
-                         jnp.where(state.first_scatter, tr_s, tr_m), 1.0)
+        return jnp.where(active[:, None],
+                         jnp.where(state.first_scatter[:, None], tr_s, tr_m),
+                         1.0)
     if med.kind in _HETERO_KINDS:
         from . import transmittance as tr
         law = _law(med)
-        _, tau_total = _optical_depth_march(
+        _, d_total, _ = _density_march(
             med, ro, rd, near, far_eff,
             jnp.full(ro.shape[0], 1e30, jnp.float32))
-        tr_s = tr.eval_tr(law, tau_total, True, True)
-        tr_m = tr.eval_tr(law, tau_total, False, True)
-        return jnp.where(active,
-                         jnp.where(state.first_scatter, tr_s, tr_m), 1.0)
+        tau = d_total[:, None] * med.sigma_t[None, :]  # [R,3]
+        tr_s = tr.eval_tr(law, tau, True, True)
+        tr_m = tr.eval_tr(law, tau, False, True)
+        return jnp.where(active[:, None],
+                         jnp.where(state.first_scatter[:, None], tr_s, tr_m),
+                         1.0)
     # binary visibility is a discrete event (zero gradient a.e.): march on
     # fully-detached inputs so the while_loop never sees tangents
     med, ro, rd, near, far_eff, state = _detach(
@@ -789,4 +811,5 @@ def transmittance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
     value_at = make_value_at(med, scene_seed, ro, rd, near, state, pss)
     m = march(med, value_at, ro, rd, near, far_eff, state, pss, u_jitter,
               active, refine=False)
-    return jnp.where(active, jnp.where(m["hit"], 0.0, 1.0), 1.0)
+    t1 = jnp.where(active, jnp.where(m["hit"], 0.0, 1.0), 1.0)
+    return jnp.broadcast_to(t1[:, None], (t1.shape[0], 3))
