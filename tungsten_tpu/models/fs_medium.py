@@ -35,12 +35,19 @@ def _chunk_key(pss, scene_seed, chunk):
             + trng.xxhash32(scene_seed) + trng.xxhash32(chunk))
 
 
+_FAR_ROW = 1.0e5  # masked conditioning rows move here (zero covariance)
+
+
 def _sample_chunk(med, scene_seed, ro_seg, rd, t0, dt, n, carry_val,
-                  carry_grad, have_carry, pss, chunk_idx, u_offset):
+                  carry_grad, have_carry, pss, chunk_idx, u_offset,
+                  ring=None):
     """Draw one conditioned realization over n points starting at t0.
 
     carry: (value, directional derivative) at t0 from the previous chunk
-    (Renewal+ memory; Renewal passes have_carry grad masked off).
+    (Renewal+ memory; Renewal passes have_carry grad masked off).  Under the
+    Global context, `ring` = (pts[K,3], vals[K], dts[K], count) supplies the
+    bounded conditioning-row window instead (applyMemory Global,
+    GaussianProcess.cpp:165-168).
     Returns (ts[n], values[n], ids[n]).
     """
     gp = med.gp
@@ -56,8 +63,31 @@ def _sample_chunk(med, scene_seed, ro_seg, rd, t0, dt, n, carry_val,
     dts = jnp.full(n, D_NONE, jnp.int32)
     dirs = jnp.broadcast_to(rd, (n, 3))
 
+    key = _chunk_key(pss, scene_seed, chunk_idx)
+
     p0 = ro_seg + t0 * rd
-    if ctxt in (sc.CTXT_RENEWAL, sc.CTXT_RENEWAL_PLUS):
+    if ctxt == sc.CTXT_GLOBAL and ring is not None:
+        # condition on the valid ring rows; invalid rows are moved FAR so the
+        # pseudo-inverse drops them (zero covariance)
+        r_pts, r_vals, r_dts, r_n = ring
+        K = r_vals.shape[0]
+        kidx = jnp.arange(K)
+        keep = kidx < r_n
+        cond_pts = jnp.where(keep[:, None], r_pts,
+                             _FAR_ROW * (2.0 + kidx[:, None]).astype(
+                                 jnp.float32) + ro_seg[None, :])
+        cond_vals = jnp.where(keep, r_vals, 0.0)
+        cond_dts = jnp.where(keep, r_dts, D_NONE)
+        cond_dirs = jnp.broadcast_to(rd, (K, 3))
+        mean, sqrt_cov, ids = gpmod.conditional_mvn(
+            gp, cov_fn, pts, dts, dirs, cond_pts, cond_dts, cond_dirs,
+            cond_vals)
+        mean_p, sqrt_p, ids_p = gpmod.prior_mvn(gp, cov_fn, pts, dts, dirs)
+        use_ring = r_n > 0
+        mean = jnp.where(use_ring, mean, mean_p)
+        sqrt_cov = jnp.where(use_ring, sqrt_cov, sqrt_p)
+        ids = jnp.where(use_ring, ids, ids_p)
+    elif ctxt in (sc.CTXT_RENEWAL, sc.CTXT_RENEWAL_PLUS):
         nc = 2 if ctxt == sc.CTXT_RENEWAL_PLUS else 1
         cond_pts = jnp.broadcast_to(p0, (nc, 3))
         cond_dts = jnp.asarray([D_NONE, D_FIRST][:nc], jnp.int32)
@@ -66,14 +96,27 @@ def _sample_chunk(med, scene_seed, ro_seg, rd, t0, dt, n, carry_val,
         mean, sqrt_cov, ids = gpmod.conditional_mvn(
             gp, cov_fn, pts, dts, dirs, cond_pts, cond_dts, cond_dirs,
             cond_vals)
+        # no carry yet: condition the first chunk on a sampled positive
+        # start value (sample_start_value, GaussianProcess.cpp:589-601)
+        v0 = jnp.maximum(0.0, gpmod.sample_truncated_normal(
+            gp.mean_and_id(p0)[0],
+            jnp.sqrt(jnp.maximum(cov_fn(p0, p0), 1e-20)), 0.0, key,
+            jnp.uint32(7)))
+        mean_s, sqrt_s, ids_s = gpmod.conditional_mvn(
+            gp, cov_fn, pts, dts, dirs, p0[None, :],
+            jnp.asarray([D_NONE], jnp.int32), rd[None, :], v0[None])
+        first = (~have_carry) & (chunk_idx == 0)
+        mean = jnp.where(first, mean_s, mean)
+        sqrt_cov = jnp.where(first, sqrt_s, sqrt_cov)
+        ids = jnp.where(first, ids_s, ids)
         mean_p, sqrt_p, ids_p = gpmod.prior_mvn(gp, cov_fn, pts, dts, dirs)
-        mean = jnp.where(have_carry, mean, mean_p)
-        sqrt_cov = jnp.where(have_carry, sqrt_cov, sqrt_p)
-        ids = jnp.where(have_carry, ids, ids_p)
+        later = (~have_carry) & (chunk_idx > 0)
+        mean = jnp.where(later, mean_p, mean)
+        sqrt_cov = jnp.where(later, sqrt_p, sqrt_cov)
+        ids = jnp.where(later, ids_p, ids)
     else:
         mean, sqrt_cov, ids = gpmod.prior_mvn(gp, cov_fn, pts, dts, dirs)
 
-    key = _chunk_key(pss, scene_seed, chunk_idx)
     vals = gpmod.sample_mvn(mean, sqrt_cov, key, jnp.uint32(11))
     return ts, vals, ids
 
@@ -158,28 +201,68 @@ def _sample_grad_at(med, scene_seed, ro_seg, rd, ts, vals, cross_idx, t_cross,
     return grad, v_cross, dv_cross
 
 
+def _skip_space_advance(med, ro, rd, near, far):
+    """Free-flight skip: advance near while P(f < 0) < skip_space
+    (FunctionSpaceGaussianProcessMedium.cpp:71-90, GaussianProcess::cdf,
+    GaussianProcess.cpp:776-782) — vectorized over a fixed probe block."""
+    if med.skip_space <= 0.0:
+        return near
+    gp = med.gp
+    cov_fn = gpmod.make_cov_fn(gp)
+    step = jnp.where(med.step_size > 0, med.step_size, 0.01)
+    S = 128
+    i = jnp.arange(1, S + 1, dtype=jnp.float32)
+    ts = near + i * step
+    ps = ro[None, :] + ts[:, None] * rd[None, :]
+    cdfs = jax.vmap(lambda p: gpmod.gp_cdf(gp, cov_fn, p))(ps)
+    stop = (cdfs >= med.skip_space) | (ts >= far)
+    idx = jnp.argmax(stop)  # first probe that must not be skipped
+    n_skipped = jnp.where(jnp.any(stop), idx, S)
+    return jnp.minimum(near + n_skipped.astype(jnp.float32) * step, far)
+
+
+def _ring_push(ring, pt, val, dt_kind, enable):
+    """Append one row to the bounded Global-context ring (oldest evicted)."""
+    r_pts, r_vals, r_dts, r_n = ring
+    K = r_vals.shape[0]
+    full = r_n >= K
+    r_pts2 = jnp.where(enable & full, jnp.roll(r_pts, -1, axis=0), r_pts)
+    r_vals2 = jnp.where(enable & full, jnp.roll(r_vals, -1), r_vals)
+    r_dts2 = jnp.where(enable & full, jnp.roll(r_dts, -1), r_dts)
+    slot = jnp.minimum(r_n, K - 1)
+    r_pts2 = jnp.where(enable, r_pts2.at[slot].set(pt), r_pts)
+    r_vals2 = jnp.where(enable, r_vals2.at[slot].set(val), r_vals)
+    r_dts2 = jnp.where(enable, r_dts2.at[slot].set(dt_kind), r_dts)
+    r_n2 = jnp.where(enable, jnp.minimum(r_n + 1, K), r_n)
+    return (r_pts2, r_vals2, r_dts2, r_n2)
+
+
 def sample_distance_fs_one(med, scene_seed, ro, rd, near, far, first_scatter,
                            carry_val, carry_grad, have_carry, info_t, pss,
-                           u_offset, active):
+                           u_offset, active, ring_pts, ring_vals, ring_dts,
+                           ring_n):
     """Single-ray chunked function-space march; designed for vmap.
 
-    Returns dict(hit, t, grad[3], end_val, end_grad_z, gp_id).
-    """
+    Returns dict(hit, t, grad[3], end_val, gp_id, ring_*)."""
     n = med.sample_points
-    seg_len = far - near
+    near = _skip_space_advance(med, ro, rd, near, far)
+    seg_len = jnp.maximum(far - near, 1e-6)
     dt_full = seg_len / n
     dt = jnp.where((med.step_size > 0) & (med.step_size < dt_full),
                    med.step_size, dt_full)
     max_chunks = 64
+    is_global = med.cfg.ctxt == sc.CTXT_GLOBAL
 
     def cond(c):
         return c["running"] & (c["chunk"] < max_chunks)
 
     def body(c):
         t0 = c["t0"]
+        ring = c["ring"]
         ts, vals, ids = _sample_chunk(
             med, scene_seed, ro, rd, t0, dt, n, c["carry_val"],
-            c["carry_grad"], c["have_carry"], pss, c["chunk"], u_offset)
+            c["carry_grad"], c["have_carry"], pss, c["chunk"], u_offset,
+            ring=ring)
         skip_first = (~first_scatter) & (c["chunk"] == 0)
         crossed, idx, t_cross, v0, v1, off = _find_crossing(ts, vals,
                                                             skip_first)
@@ -189,6 +272,15 @@ def sample_distance_fs_one(med, scene_seed, ro, rd, near, far, first_scatter,
         t_end = ts[-1]
         reached_far = t_end >= far - 1e-6
         running = (~crossed) & (~reached_far)
+        if is_global:
+            # bounded analog of the reference's append-everything: keep the
+            # chunk end value, and on a crossing the (value, derivative)
+            # rows at the intersect (applyMemory Global + makeIntersect)
+            ip = ro + jnp.where(crossed, t_cross, t_end) * rd
+            ring = _ring_push(ring, ro + t_end * rd, vals[-1], D_NONE,
+                              ~crossed)
+            ring = _ring_push(ring, ip, jnp.float32(0.0), D_NONE, crossed)
+            ring = _ring_push(ring, ip, dot(grad, rd), D_FIRST, crossed)
         return {
             "t0": t_end,
             "chunk": c["chunk"] + jnp.uint32(1),
@@ -201,6 +293,7 @@ def sample_distance_fs_one(med, scene_seed, ro, rd, near, far, first_scatter,
             "carry_grad": dot(grad, rd),
             "have_carry": jnp.asarray(True),
             "gp_id": jnp.where(crossed, ids[idx], ids[-1]),
+            "ring": ring,
         }
 
     init = {
@@ -214,8 +307,11 @@ def sample_distance_fs_one(med, scene_seed, ro, rd, near, far, first_scatter,
         "carry_grad": carry_grad,
         "have_carry": have_carry,
         "gp_id": jnp.int32(0),
+        "ring": (ring_pts, ring_vals, ring_dts, ring_n),
     }
     out = jax.lax.while_loop(cond, body, init)
+    rp, rv, rdt, rn = out["ring"]
     return {"hit": out["hit"] & active, "t": out["t_hit"],
             "grad": out["grad"], "end_val": out["carry_val"],
-            "gp_id": out["gp_id"]}
+            "gp_id": out["gp_id"],
+            "ring_pts": rp, "ring_vals": rv, "ring_dts": rdt, "ring_n": rn}

@@ -123,6 +123,35 @@ def _reattach_ratio(f):
     return jnp.where(ok, f / jnp.where(ok, fd, 1.0), 1.0)
 
 
+import os as _os_mod
+
+_NANPROBE = bool(_os_mod.environ.get("TUNGSTEN_TPU_NANPROBE"))
+
+
+def _nanprobe(x, name):
+    """Debug identity: reports non-finite primal values and non-finite
+    incoming cotangents during backward (enable TUNGSTEN_TPU_NANPROBE=1)."""
+    if not _NANPROBE:
+        return x
+
+    @jax.custom_vjp
+    def probe(v):
+        return v
+
+    def fwd(v):
+        jax.debug.print(name + " fwd nonfinite={n}",
+                        n=jnp.sum(~jnp.isfinite(v)))
+        return v, None
+
+    def bwd(_, g):
+        jax.debug.print(name + " bwd nonfinite={n}",
+                        n=jnp.sum(~jnp.isfinite(g)))
+        return (g,)
+
+    probe.defvjp(fwd, bwd)
+    return probe(x)
+
+
 def _cat(*xs):
     return jnp.concatenate(xs, axis=0)
 
@@ -409,6 +438,8 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
     w_est1 = jax.lax.stop_gradient(
         tr1 * (mis1 / jnp.maximum(lpdf, 1e-9) * light_weight)[:, None]
     ) * ratio1[:, None]
+    f1 = _nanprobe(f1, "f1")
+    ratio1 = _nanprobe(ratio1, "ratio1")
     contrib1 = jnp.where((valid1 & (jnp.max(tr1, axis=-1) > 0))[:, None],
                          f1 * light_e * w_est1, 0.0)
     # strategy-2 weight reattachment: w2 was computed as f/pdf with the pdf
@@ -427,6 +458,7 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
     w2 = w2 * _reattach_ratio(f2)
     mis2 = _power_heuristic(pdf2, ld_pdf2)
     w_est2 = jax.lax.stop_gradient(tr2 * (mis2 * light_weight)[:, None])
+    w2 = _nanprobe(w2, "w2")
     contrib2 = jnp.where((hit_light2 & (jnp.max(tr2, axis=-1) > 0))[:, None],
                          w2 * light_e2 * w_est2, 0.0)
     if _os.environ.get("TUNGSTEN_TPU_DEBUG_NEE"):
@@ -493,6 +525,8 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
 
         isect = jax.vmap(lambda o, d: pr.intersect(scene.prims, o, d, _EPS,
                                                    _INF))(ro, rd)
+        isect["t"] = _nanprobe(isect["t"], "isect_t")
+        isect["normal"] = _nanprobe(isect["normal"], "isect_n")
         did_hit = isect["hit"]
         far = jnp.where(did_hit, isect["t"], _INF)
 
@@ -551,6 +585,7 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
         # inject inf/NaN into masked arithmetic (and 0 * inf = NaN in
         # backward passes)
         med_t_safe = jnp.where(vol_event, med_t, 0.0)
+        med_t_safe = _nanprobe(med_t_safe, "med_t_safe")
         vol_p = ro + med_t_safe[:, None] * rd
         hit_prim = isect["prim"]
         hit_p = ro + jnp.where(did_hit, isect["t"], 0.0)[:, None] * rd
@@ -591,6 +626,9 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
                     else jnp.zeros(R, bool))
         gate = surf_gate | vol_gate
         p_vtx = jnp.where(vol_event[:, None], vol_p, hit_p)
+        med_aniso = _nanprobe(med_aniso, "med_aniso")
+        med_t = _nanprobe(med_t, "med_t")
+        p_vtx = _nanprobe(p_vtx, "p_vtx")
         c = next_event(scene, p_vtx, vol_event, rd, med_aniso, scheme, med_t,
                        sh_normal, tfr, bfr, wi_local, bsdf_idx, med_idx,
                        med_state, pss_next, draw, bounce, gate)
@@ -599,6 +637,7 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
             c, dbg_nee_parts = c
             dbg_nee_parts = {"dbgn_" + k: v for k, v in dbg_nee_parts.items()}
             dbg_nee_parts["dbgn_isvol"] = vol_event
+        c = _nanprobe(c, "nee_c")
         emission = emission + jnp.where(gate[:, None], throughput * c, 0.0)
 
         # ---- feature buffers at the first scattering vertex ----------------
@@ -638,6 +677,7 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
                                     jax.lax.stop_gradient(psamp["w"]),
                                     med_aniso)
                 w_m = w_m * _reattach_ratio(f_m)
+            w_m = _nanprobe(w_m, "w_m")
             throughput = throughput * jnp.where(in_m[:, None], w_m, 1.0)
             phase_ok = phase_ok & jnp.where(in_m, psamp["valid"], True)
             vol_was_spec = ~(scene.enable_volume_light_sampling
@@ -645,6 +685,8 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
                                 | scene.low_order_scattering))
             was_specular = jnp.where(in_m, vol_was_spec, was_specular)
         active = active & (phase_ok | ~vol_event)
+        new_rd = _nanprobe(new_rd, "new_rd")
+        vol_p = _nanprobe(vol_p, "vol_p2")
         ro = jnp.where(vol_event[:, None], vol_p, ro)
         rd = jnp.where(vol_event[:, None], new_rd, rd)
         medium_bounces = medium_bounces + vol_event.astype(jnp.int32)
@@ -671,6 +713,7 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
             bsdf_idx, wi_local, jax.lax.stop_gradient(s["wo"]))
         s_w = s["weight"] * jnp.where(s["specular"][:, None], 1.0,
                                       _reattach_ratio(f_s))
+        s_w = _nanprobe(s_w, "s_w")
         throughput = throughput * jnp.where(surf_scatter[:, None], s_w, 1.0)
         was_specular = jnp.where(surf_scatter, s["specular"], was_specular)
 
@@ -683,8 +726,11 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
         med_idx = jnp.where(surf_scatter & override, new_med, med_idx)
         med_state = med_state.reset_where(surf_scatter & crossed)
 
+        wo_world = _nanprobe(wo_world, "wo_world")
         ro = jnp.where(surf_scatter[:, None], hit_p + wo_world * _EPS, ro)
         rd = jnp.where(surf_scatter[:, None], wo_world, rd)
+        ro = _nanprobe(ro, "ro_end")
+        rd = _nanprobe(rd, "rd_end")
 
         # ---- bookkeeping --------------------------------------------------
         thr_max = jnp.max(jnp.abs(throughput), axis=-1)

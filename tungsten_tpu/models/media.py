@@ -47,6 +47,8 @@ MEDIUM_VOXEL = "voxel"
 
 _HETERO_KINDS = (MEDIUM_EXPONENTIAL, MEDIUM_ATMOSPHERIC, MEDIUM_VOXEL)
 
+FS_RING = 16  # Global-context conditioning ring size
+
 NORMAL_CONDITIONED = "conditioned_gaussian"
 NORMAL_FD = "finite_differences"
 NORMAL_BECKMANN = "beckmann"
@@ -54,7 +56,7 @@ NORMAL_GGX = "ggx"
 
 
 @struct(meta=("kind", "min_step", "max_march_steps", "normal_method",
-              "sample_points", "basis_functions", "phase_kind",
+              "sample_points", "basis_functions", "skip_space", "phase_kind",
               "phase_bsdf", "march_block"))
 class Medium:
     """One medium's static config + differentiable parameters."""
@@ -78,6 +80,7 @@ class Medium:
     normal_method: str = static_field(default=NORMAL_CONDITIONED)
     sample_points: int = static_field(default=32)  # function space
     basis_functions: int = static_field(default=300)  # weight space
+    skip_space: float = static_field(default=0.0)  # cdf free-flight skip
     phase_kind: str = static_field(default="isotropic")
     phase_bsdf: int = static_field(default=-1)  # BRDF-phase bsdf index
     march_block: int = static_field(default=8)  # steps per while-iteration
@@ -104,6 +107,14 @@ class MediumState:
     scheme: jnp.ndarray  # [R] i32 (active 1D sampling scheme)
     coeff3: sc.Coeffs  # batched leaves
     coeff1: sc.Coeffs
+    # function-space Global-context memory: bounded ring of conditioning
+    # rows (pts/derivative-kind/values, count) — the fixed-shape analog of
+    # the reference's unbounded append (applyMemory Global,
+    # GaussianProcess.cpp:165-168); K = FS_RING rows kept
+    fs_pts: jnp.ndarray = None  # [R,K,3]
+    fs_vals: jnp.ndarray = None  # [R,K]
+    fs_dts: jnp.ndarray = None  # [R,K] i32
+    fs_n: jnp.ndarray = None  # [R] i32 valid-row count
 
     @staticmethod
     def make(n):
@@ -120,7 +131,11 @@ class MediumState:
                              ray_origin=jnp.zeros((n, 3), jnp.float32)),
             coeff1=sc.Coeffs(value_scale=jnp.zeros(n, jnp.float32),
                              gradient_scale=jnp.zeros((n, 3), jnp.float32),
-                             ray_origin=jnp.zeros((n, 3), jnp.float32)))
+                             ray_origin=jnp.zeros((n, 3), jnp.float32)),
+            fs_pts=jnp.zeros((n, FS_RING, 3), jnp.float32),
+            fs_vals=jnp.zeros((n, FS_RING), jnp.float32),
+            fs_dts=jnp.zeros((n, FS_RING), jnp.int32),
+            fs_n=jnp.zeros(n, jnp.int32))
 
     def reset_where(self, mask):
         """mediumState.reset() on boundary-crossing rays
@@ -607,12 +622,15 @@ def _sample_distance_fs(med, scene_seed, ro, rd, near, far, state, pss,
                         u_jitter, active):
     from . import fs_medium as fs
 
-    res = jax.vmap(lambda o, d, nr, fr, fsc, cv, cg, hc, it, ps, uo, ac:
+    res = jax.vmap(lambda o, d, nr, fr, fsc, cv, cg, hc, it, ps, uo, ac,
+                   rp, rv, rdt, rn:
                    fs.sample_distance_fs_one(med, scene_seed, o, d, nr, fr,
-                                             fsc, cv, cg, hc, it, ps, uo, ac))(
+                                             fsc, cv, cg, hc, it, ps, uo, ac,
+                                             rp, rv, rdt, rn))(
         ro, rd, near, far, state.first_scatter, state.last_val,
         jax.vmap(dot)(state.last_aniso, rd), ~state.first_scatter,
-        state.info_t, pss, u_jitter, active)
+        state.info_t, pss, u_jitter, active,
+        state.fs_pts, state.fs_vals, state.fs_dts, state.fs_n)
 
     hit = res["hit"]
     t = res["t"]
@@ -642,6 +660,11 @@ def _sample_distance_fs(med, scene_seed, ro, rd, near, far, state, pss,
         scheme=jnp.where(active, sc.SCHEME_UNI, state.scheme),
         info_t=jnp.where(active, state.info_t + t - near, state.info_t),
         bounce=jnp.where(active, state.bounce + 1, state.bounce),
+        fs_pts=jnp.where(active[:, None, None], res["ring_pts"],
+                         state.fs_pts),
+        fs_vals=jnp.where(active[:, None], res["ring_vals"], state.fs_vals),
+        fs_dts=jnp.where(active[:, None], res["ring_dts"], state.fs_dts),
+        fs_n=jnp.where(active, res["ring_n"], state.fs_n),
     )
     return ({"exited": ~hit, "t": t, "weight": weight, "aniso": grad,
              "gp_id": res["gp_id"], "scheme": jnp.zeros_like(res["gp_id"]),
@@ -666,8 +689,14 @@ def _precondition(med, scene_seed, ro, rd, near, state, pss, active):
         return sc.conditioning(cfg, gp, c3, c1, p_i, rd_i, tv, tg, pss_i,
                                scene_seed, it_i, active=True)
 
-    c3n, c1n = jax.vmap(one)(p0, rd, state.last_val, state.last_aniso, pss,
+    from ..utils.nanprobe import nanprobe as _np_
+    la = _np_(state.last_aniso, "pc_last_aniso")
+    lv = _np_(state.last_val, "pc_last_val")
+    c3n, c1n = jax.vmap(one)(p0, rd, lv, la, pss,
                              state.info_t, state.coeff3, state.coeff1)
+    c3n = sc.Coeffs(value_scale=_np_(c3n.value_scale, "pc_c3_vs"),
+                    gradient_scale=_np_(c3n.gradient_scale, "pc_c3_gs"),
+                    ray_origin=_np_(c3n.ray_origin, "pc_c3_ro"))
     coeff3 = _select(need, c3n, state.coeff3)
     coeff1 = _select(need, c1n, state.coeff1)
     return replace(state, coeff3=coeff3, coeff1=coeff1)
@@ -719,10 +748,14 @@ def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
     # root (df/dt = grad . rd).  This mirrors the secant refinement's fixed
     # point (SparseConvolutionNoiseMedium.cpp:143-160) and is the standard
     # differentiable-SDF-rendering estimator (SURVEY.md §7 design stance).
+    from ..utils.nanprobe import nanprobe as _np_
+    grad = _np_(grad, "sd_grad")
+    f_at_t = _np_(f_at_t, "sd_f_at_t")
     dfdt = jax.lax.stop_gradient(dot(grad, rd))
     ift_ok = hit & (jnp.abs(dfdt) > 1e-3)  # grazing crossings: detach
     corr = ((f_at_t - jax.lax.stop_gradient(f_at_t))
             / jnp.where(ift_ok, dfdt, 1.0))
+    corr = _np_(corr, "sd_corr")
     t = t - jnp.where(ift_ok, corr, 0.0)
     ip = ro + t[:, None] * rd
 

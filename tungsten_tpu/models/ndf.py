@@ -60,7 +60,7 @@ def _lambda_ggx(w, alpha):
 
 def _lambda_beckmann(w, alpha):
     cz = jnp.clip(jnp.abs(w[..., 2]), 1e-6, 1.0)
-    tan_t = jnp.sqrt(jnp.maximum(1.0 - cz * cz, 0.0)) / cz
+    tan_t = jnp.sqrt(jnp.maximum(1.0 - cz * cz, 1e-12)) / cz
     a = 1.0 / jnp.maximum(alpha * tan_t, 1e-6)
     # Walter's rational approximation
     lam = (1.0 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a)
@@ -108,8 +108,8 @@ def sample_vndf_ggx(wi, alpha, u1, u2):
     p1 = r * jnp.cos(phi)
     p2 = r * jnp.sin(phi)
     s = 0.5 * (1.0 + v[..., 2])
-    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
-    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 1e-12)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 1e-12))
     nh = (p1[..., None] * t1 + p2[..., None] * t2v + p3[..., None] * v)
     m = jnp.stack([alpha * nh[..., 0], alpha * nh[..., 1],
                    jnp.maximum(nh[..., 2], 1e-6)], axis=-1)

@@ -154,11 +154,15 @@ def sample_phase(med, table, wi, aniso, u):
                 "specular": jnp.zeros(shape, bool),
                 "valid": jnp.ones(shape, bool)}
     if kind == PHASE_BRDF:
-        n = safe_normalize(aniso)
+        from ..utils.nanprobe import nanprobe as _np_
+        aniso = _np_(aniso, "sp_aniso")
+        n = _np_(safe_normalize(aniso), "sp_n")
         t, b = tangent_frame(n)
-        wil = safe_normalize(frame_to_local(t, b, n, -wi))
+        t = _np_(t, "sp_t")
+        wil = _np_(safe_normalize(frame_to_local(t, b, n, -wi)), "sp_wil")
         bi = jnp.asarray(med.phase_bsdf, jnp.int32)
         s = bsdfs.sample_bsdf(table, bi, wil, jnp.moveaxis(u, -1, 0))
+        s["wo"] = _np_(s["wo"], "sp_swo")
         w = safe_normalize(frame_to_world(t, b, n, s["wo"]))
         # wrong normal side => invalid (handleVolume kills the path,
         # TraceBase.cpp:553-556)

@@ -80,7 +80,7 @@ def _sqrt_psd(a, jitter=1e-6):
     chol = jnp.linalg.cholesky(aj)
     ok = jnp.all(jnp.isfinite(chol))
     w, v = jnp.linalg.eigh(a)
-    sqrt_eig = v * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]
+    sqrt_eig = v * jnp.sqrt(jnp.maximum(w, 1e-12))[None, :]
     return jnp.where(ok, jnp.where(jnp.isfinite(chol), chol, 0.0), sqrt_eig)
 
 
@@ -90,7 +90,7 @@ def pseudo_inverse(a, eps_scale=1e-6):
     w, v = jnp.linalg.eigh(a)
     eps = eps_scale * jnp.max(jnp.abs(w))
     w_inv = jnp.where(jnp.abs(w) <= eps, 0.0, 1.0 / jnp.where(w == 0, 1.0, w))
-    u = v * jnp.sqrt(jnp.maximum(w_inv, 0.0))[None, :]
+    u = v * jnp.sqrt(jnp.maximum(w_inv, 1e-12))[None, :]
     # general (possibly signed) pinv: v diag(w_inv) v^T
     return (v * w_inv[None, :]) @ v.T
 

@@ -440,7 +440,7 @@ def eval_gradient_noise1d(cfg, gp, coeff1, p, t_total, t_segment, ray_dir,
         f, cvar = _xy_correlation_factor(t_segment)
         mu = f * 2.0 * xy1
         m0, m1 = rng.normal2(key, ctr0 + 1)
-        return jnp.stack([m0, m1]) * jnp.sqrt(jnp.maximum(cvar, 0.0)) + mu
+        return jnp.stack([m0, m1]) * jnp.sqrt(jnp.maximum(cvar, 1e-12)) + mu
 
     if not cfg.multi_res(gp):
         base4 = eval_noise1d_normalized(cfg, gp, coeff1, p, t_total, ray_dir,
@@ -472,7 +472,7 @@ def eval_gradient_noise1d(cfg, gp, coeff1, p, t_total, t_segment, ray_dir,
             f, cvar = _xy_correlation_factor(t_segment)
             mu = f * 2.0 * xy1
             m0, m1 = rng.normal2(key, ctr0 + 2)
-            xy2 = jnp.stack([m0, m1]) * jnp.sqrt(jnp.maximum(cvar, 0.0)) + mu
+            xy2 = jnp.stack([m0, m1]) * jnp.sqrt(jnp.maximum(cvar, 1e-12)) + mu
         return jnp.where(is_start_v, xy1 * xy_scale, xy2)
 
     xy_lo = lat2(jnp.uint32(0), is_start)

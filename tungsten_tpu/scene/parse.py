@@ -489,6 +489,7 @@ def parse_medium(m: dict, bsdf_names: dict, base_dir=".") -> md.Medium:
         law=law, field_params=field_params, grid=grid,
         kind=kind,
         min_step=int(m.get("min_step", 8)),
+        skip_space=float(m.get("skip_space", 0.0)),
         normal_method=m.get("normal_method", "conditioned_gaussian"),
         sample_points=int(m.get("sample_points", 32)),
         basis_functions=int(m.get("basis_functions", 300)),
