@@ -139,7 +139,7 @@ def trace_light(scene: Scene, n_paths, spp_idx):
             in_m = active & (med_idx == mi)
             res, med_state_new = md.sample_distance(
                 medium, scene.scene_seed, ro, rd, jnp.zeros(R), far,
-                med_state, pss, draw(bounce, 4), in_m)
+                med_state, pss, draw(bounce, 36), in_m)
             med_state = md._select(in_m, med_state_new, med_state)
             vol_event = vol_event | (in_m & ~res["exited"] & ~res["failed"])
             med_t = jnp.where(in_m & ~res["exited"], res["t"], med_t)
@@ -185,25 +185,25 @@ def trace_light(scene: Scene, n_paths, spp_idx):
         off = jnp.where(vol_event[:, None], 0.0,
                         sh_normal * jnp.sign(wo_local[:, 2:3]) * _EPS)
         film = _splat(film, cam, p_vtx + off, beta * f, med_idx, med_state,
-                      pss.at[:, 3].add(1), draw(bounce, 6), scene, gate)
+                      pss.at[:, 3].add(1), draw(bounce, 38), scene, gate)
 
         # ---- continue the walk ---------------------------------------------
         new_rd = rd
         phase_ok = jnp.ones(R, bool)
         for mi, medium in enumerate(scene.media):
             in_m = vol_event & (med_idx == mi)
-            u = jnp.stack([draw(bounce, 8), draw(bounce, 9),
-                           draw(bounce, 10), draw(bounce, 11),
-                           draw(bounce, 12)], axis=-1)
+            u = jnp.stack([draw(bounce, 40), draw(bounce, 41),
+                           draw(bounce, 42), draw(bounce, 43),
+                           draw(bounce, 44)], axis=-1)
             psamp = ph.sample_phase(medium, scene.bsdfs, rd, med_aniso, u)
             new_rd = jnp.where(in_m[:, None], psamp["w"], new_rd)
             beta = beta * jnp.where(in_m[:, None], psamp["weight"], 1.0)
             phase_ok = phase_ok & jnp.where(in_m, psamp["valid"], True)
         active = active & (phase_ok | ~vol_event)
 
-        u = jnp.stack([draw(bounce, 16), draw(bounce, 17),
-                       draw(bounce, 18), draw(bounce, 19),
-                       draw(bounce, 20)], axis=-1)
+        u = jnp.stack([draw(bounce, 48), draw(bounce, 49),
+                       draw(bounce, 50), draw(bounce, 51),
+                       draw(bounce, 52)], axis=-1)
         s = jax.vmap(lambda i, wi, uu: bs.sample_bsdf(scene.bsdfs, i, wi,
                                                       uu))(
             bsdf_idx, wi_local, u)
@@ -230,7 +230,7 @@ def trace_light(scene: Scene, n_paths, spp_idx):
 
         thr_max = jnp.max(jnp.abs(beta), axis=-1)
         active = active & (thr_max > 0.0) & jnp.isfinite(thr_max)
-        rr_u = draw(bounce, 30)
+        rr_u = draw(bounce, 54)
         q = jnp.minimum(thr_max, 1.0)
         rr = active & (bounce > 2)
         survive = rr_u < q

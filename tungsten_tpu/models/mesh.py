@@ -343,6 +343,27 @@ def sample_direct_mesh(mesh: MeshSoA, li, total_area, p, u1, u2):
     return d, dist, pdf, any_mine
 
 
+def sample_position_mesh(mesh: MeshSoA, li, u1, u2):
+    """Area-sample a point+normal on the mesh owned by prim row `li`
+    (TriangleMesh::samplePosition; light-emitting integrators).
+    Returns (p [3], n [3], valid)."""
+    mine = mesh.prim == li
+    ge = mine & (mesh.tri_cdf >= u1)
+    T = mesh.count
+    first = jnp.min(jnp.where(ge, jnp.arange(T), T))
+    any_mine = first < T
+    i = jnp.minimum(first, T - 1)
+    cdf_i = mesh.tri_cdf[i]
+    prev = jnp.where((i > 0) & (mesh.prim[jnp.maximum(i - 1, 0)] == li),
+                     mesh.tri_cdf[jnp.maximum(i - 1, 0)], 0.0)
+    ur = jnp.clip((u1 - prev) / jnp.maximum(cdf_i - prev, 1e-12), 0.0, 1.0)
+    su = jnp.sqrt(jnp.maximum(ur, 1e-12))
+    b0 = 1.0 - su
+    b1 = u2 * su
+    q = mesh.v0[i] + b0 * mesh.e1[i] + b1 * mesh.e2[i]
+    return q, mesh.gn[i], any_mine
+
+
 def direct_pdf_mesh(total_area, gn_hit, w, t_hit):
     """Solid-angle pdf of hitting an area-sampled mesh light
     (TriangleMesh.cpp:477-480)."""

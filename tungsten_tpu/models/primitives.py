@@ -23,7 +23,8 @@ from ..utils.pytree import struct
 from ..utils.vecmath import (dot, frame_to_world, length, normalize,
                              safe_normalize, tangent_frame)
 from .mesh import (MeshSoA, build_mesh_soa, direct_pdf_mesh, empty_mesh,
-                   mesh_intersect, sample_direct_mesh)
+                   mesh_intersect, sample_direct_mesh,
+                   sample_position_mesh)
 
 PRIM_QUAD = 0
 PRIM_SPHERE = 1
@@ -364,10 +365,36 @@ def sample_position(soa: PrimitiveSoA, li, u1, u2):
     rd_ = soa.radius[li] * jnp.sqrt(jnp.maximum(u1, 0.0))
     pd = soa.p0[li] + rd_ * (jnp.cos(phi) * tg + jnp.sin(phi) * bt)
 
+    # cube: pick a face by area, uniform point on it (Cube::samplePosition)
+    sc_ = jnp.maximum(soa.scale[li], 1e-12)  # half extents, local
+    fa = jnp.stack([sc_[1] * sc_[2], sc_[2] * sc_[0], sc_[0] * sc_[1]])
+    fa = fa / jnp.sum(fa)
+    cdf = jnp.cumsum(fa)
+    u1r = jnp.mod(u1 * 6.0, 1.0)  # re-use u1: face-pair select + sign
+    axis = jnp.minimum(jnp.sum((u1r > cdf).astype(jnp.int32)), 2)
+    sign = jnp.where(jnp.mod(u1 * 6.0, 2.0) >= 1.0, 1.0, -1.0)
+    a1 = (axis + 1) % 3
+    a2 = (axis + 2) % 3
+    pl = jnp.zeros(3).at[axis].set(sign * sc_[axis])
+    pl = pl.at[a1].set((2.0 * jnp.mod(u1 * 36.0, 1.0) - 1.0) * sc_[a1])
+    pl = pl.at[a2].set((2.0 * u2 - 1.0) * sc_[a2])
+    nl = jnp.zeros(3).at[axis].set(sign)
+    # rot is world->local; transpose back
+    pc = soa.p0[li] + jnp.einsum("ji,j->i", soa.rot[li], pl,
+                                 precision="highest")
+    ncb = jnp.einsum("ji,j->i", soa.rot[li], nl, precision="highest")
+
     is_sphere = kind == PRIM_SPHERE
     is_disk = kind == PRIM_DISK
-    p = jnp.where(is_sphere, ps, jnp.where(is_disk, pd, pq))
-    n = jnp.where(is_sphere, ns, nq)
+    is_cube = kind == PRIM_CUBE
+    p = jnp.where(is_sphere, ps,
+                  jnp.where(is_disk, pd, jnp.where(is_cube, pc, pq)))
+    n = jnp.where(is_sphere, ns, jnp.where(is_cube, ncb, nq))
+    if soa.mesh.has:
+        pm, nm, vm = sample_position_mesh(soa.mesh, li, u1, u2)
+        is_mesh = kind == PRIM_MESH
+        p = jnp.where(is_mesh, pm, p)
+        n = jnp.where(is_mesh, nm, n)
     return p, n, inv_area
 
 

@@ -161,6 +161,9 @@ def main(argv=None):
                     help="also write depth/normal/albedo/visibility buffers")
     ap.add_argument("--tonemap", default="gamma",
                     choices=["linear", "gamma", "reinhard", "filmic"])
+    ap.add_argument("--integrator", default=None,
+                    choices=["path_tracer", "light_tracer"],
+                    help="overrides the scene's integrator type")
     ap.add_argument("--sampler", default=None,
                     choices=["independent", "sobol"],
                     help="overrides the scene's sampler_type")
@@ -222,6 +225,8 @@ def main(argv=None):
     if sampler not in ("independent", "sobol"):
         sampler = "sobol"  # reference default sampler is Sobol
 
+    integ_kind = args.integrator or rdoc.get("integrator_type", "path_tracer")
+
     if args.data_dump_pixel:
         dx, dy = (int(v) for v in args.data_dump_pixel.split(","))
         data = dump_pixel(scene, dx, dy)
@@ -231,7 +236,17 @@ def main(argv=None):
         print(f"wrote {dump_path}")
         return
 
-    if args.adaptive > 0 and spp_start == 0:
+    if integ_kind == "light_tracer":
+        from .models.light_tracer import render_pass_lt
+        f = jax.jit(render_pass_lt)
+        acc = film
+        for s in range(spp_start, spp_start + spp):
+            img_s = f(scene, jnp.int32(s))
+            acc = img_s if acc is None else acc + img_s
+            progress(s, acc)
+        film = acc
+        img = np.asarray(film) / done[0]
+    elif args.adaptive > 0 and spp_start == 0:
         film, cnt = render_adaptive(scene, spp, args.adaptive,
                                     progress=progress, sampler=sampler)
         img = np.asarray(film) / np.asarray(cnt)[..., None]

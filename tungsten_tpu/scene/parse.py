@@ -723,8 +723,9 @@ def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
             media[mi] = _dc.replace(media[mi],
                                     bounds=jnp.asarray(np.stack([lo, hi])))
 
-    rdoc = doc.get("renderer", {})
+    rdoc = dict(doc.get("renderer", {}))
     integ = doc.get("integrator", {})
+    rdoc["integrator_type"] = integ.get("type", "path_tracer")
     from ..models import envlight as ev
     return Scene(
         prims=soa,

@@ -21,8 +21,18 @@ import numpy as np
 
 
 def _shift(img, dy, dx):
-    """Shift with edge clamp (same spatial shape)."""
-    return jnp.roll(jnp.roll(img, dy, axis=0), dx, axis=1)
+    """Shift with edge clamp (same spatial shape).  dy/dx are python ints
+    (trace-time constants); edge padding instead of wrap keeps NL-means
+    candidate patches from mixing opposite image borders."""
+    H, W = img.shape[0], img.shape[1]
+    r = max(abs(dy), abs(dx))
+    if r == 0:
+        return img
+    pad = [(r, r), (r, r)] + [(0, 0)] * (img.ndim - 2)
+    p = jnp.pad(img, pad, mode="edge")
+    return jax.lax.dynamic_slice_in_dim(
+        jax.lax.dynamic_slice_in_dim(p, r + dy, H, axis=0), r + dx, W,
+        axis=1)
 
 
 def _box(img, r):

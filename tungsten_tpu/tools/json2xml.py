@@ -29,12 +29,13 @@ _BSDF_MAP = {"lambert": "diffuse", "oren_nayar": "roughdiffuse",
 
 
 def convert(doc):
-    scene = ET.Element("scene", version="0.6.0")
+    scene = ET.Element("scene", version="3.0.0")
     ET.SubElement(scene, "integrator", type="path")
 
-    for b in doc.get("bsdfs", []):
+    for bi, b in enumerate(doc.get("bsdfs", [])):
         t = _BSDF_MAP.get(b.get("type", "lambert"), "diffuse")
-        el = ET.SubElement(scene, "bsdf", type=t, id=b.get("name", "bsdf"))
+        el = ET.SubElement(scene, "bsdf", type=t,
+                           id=b.get("name", f"bsdf{bi}"))
         if "albedo" in b and t in ("diffuse", "roughdiffuse", "plastic",
                                    "roughplastic"):
             _rgb(el, "reflectance" if "diffuse" in t else
