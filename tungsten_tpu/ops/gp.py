@@ -71,28 +71,54 @@ def mean_vector(gp, pts, dts, dirs):
     return jnp.where(dts == D_FIRST, dm, m), ids
 
 
+def _use_eigh():
+    """eigh crashes the axon TPU runtime when invoked inside vmapped
+    while_loops (observed kernel faults); on accelerators the escalating
+    Cholesky path below replaces it.  Trace-time switch."""
+    import jax as _jax
+    return _jax.default_backend() == "cpu"
+
+
 def _sqrt_psd(a, jitter=1e-6):
-    """Matrix square root: Cholesky with diagonal jitter, eigh fallback
+    """Matrix square root: Cholesky with diagonal jitter; eigh fallback on
+    CPU, escalated-jitter Cholesky on TPU
     (MultivariateNormalDistribution ctor, Gaussian.cpp:122-170)."""
     n = a.shape[-1]
-    aj = a + jitter * jnp.eye(n, dtype=a.dtype) * jnp.maximum(
-        jnp.trace(a) / n, 1.0)
-    chol = jnp.linalg.cholesky(aj)
+    eye = jnp.eye(n, dtype=a.dtype)
+    scale = jnp.maximum(jnp.trace(a) / n, 1.0)
+    chol = jnp.linalg.cholesky(a + jitter * scale * eye)
     ok = jnp.all(jnp.isfinite(chol))
-    w, v = jnp.linalg.eigh(a)
-    sqrt_eig = v * jnp.sqrt(jnp.maximum(w, 1e-12))[None, :]
-    return jnp.where(ok, jnp.where(jnp.isfinite(chol), chol, 0.0), sqrt_eig)
+    if _use_eigh():
+        w, v = jnp.linalg.eigh(a)
+        fb = v * jnp.sqrt(jnp.maximum(w, 1e-12))[None, :]
+    else:
+        c2 = jnp.linalg.cholesky(a + 1e-2 * scale * eye)
+        fb = jnp.where(jnp.isfinite(c2), c2, 0.0)
+    return jnp.where(ok, jnp.where(jnp.isfinite(chol), chol, 0.0), fb)
 
 
 def pseudo_inverse(a, eps_scale=1e-6):
-    """Eigendecomposition pseudo-inverse (GaussianProcess.cpp:656-662) —
-    the reference's only solver that is robust for chained conditioning."""
-    w, v = jnp.linalg.eigh(a)
-    eps = eps_scale * jnp.max(jnp.abs(w))
-    w_inv = jnp.where(jnp.abs(w) <= eps, 0.0, 1.0 / jnp.where(w == 0, 1.0, w))
-    u = v * jnp.sqrt(jnp.maximum(w_inv, 1e-12))[None, :]
-    # general (possibly signed) pinv: v diag(w_inv) v^T
-    return (v * w_inv[None, :]) @ v.T
+    """Robust symmetric pseudo-inverse (GaussianProcess.cpp:656-662).
+    CPU: eigendecomposition pinv (the reference's robust solver for chained
+    conditioning).  TPU: escalating-jitter Cholesky inverse (ridge) — the
+    conditioning matrices here keep masked rows at exact prior variance
+    (FAR-row scheme), so they are positive definite up to fp noise."""
+    n = a.shape[-1]
+    if _use_eigh():
+        w, v = jnp.linalg.eigh(a)
+        eps = eps_scale * jnp.max(jnp.abs(w))
+        w_inv = jnp.where(jnp.abs(w) <= eps, 0.0,
+                          1.0 / jnp.where(w == 0, 1.0, w))
+        return (v * w_inv[None, :]) @ v.T
+    eye = jnp.eye(n, dtype=a.dtype)
+    scale = jnp.maximum(jnp.trace(jnp.abs(a)) / n, 1.0)
+    c1 = jnp.linalg.cholesky(a + 1e-5 * scale * eye)
+    ok = jnp.all(jnp.isfinite(c1))
+    c2 = jnp.linalg.cholesky(a + 1e-2 * scale * eye)
+    c = jnp.where(ok, jnp.where(jnp.isfinite(c1), c1, 0.0),
+                  jnp.where(jnp.isfinite(c2), c2, 0.0))
+    from jax.scipy.linalg import cho_solve
+    return cho_solve((c, True), eye)
 
 
 from ..utils.pytree import struct as _struct

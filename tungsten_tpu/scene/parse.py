@@ -407,7 +407,9 @@ def parse_medium(m: dict, bsdf_names: dict, base_dir=".") -> md.Medium:
     t = m.get("type", "sparse_conv_noise")
     kind = {"sparse_conv_noise": md.GPIS_SPARSE_CONV,
             "weight_space_gaussian_process": md.GPIS_WEIGHT_SPACE,
+            "weight_space": md.GPIS_WEIGHT_SPACE,
             "function_space_gaussian_process": md.GPIS_FUNCTION_SPACE,
+            "function_space": md.GPIS_FUNCTION_SPACE,
             "gaussian_process": md.GPIS_FUNCTION_SPACE,
             "homogeneous": md.MEDIUM_HOMOGENEOUS,
             "exponential": md.MEDIUM_EXPONENTIAL,
