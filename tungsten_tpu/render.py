@@ -162,7 +162,8 @@ def main(argv=None):
     ap.add_argument("--tonemap", default="gamma",
                     choices=["linear", "gamma", "reinhard", "filmic"])
     ap.add_argument("--integrator", default=None,
-                    choices=["path_tracer", "light_tracer"],
+                    choices=["path_tracer", "light_tracer",
+                             "bidirectional_path_tracer"],
                     help="overrides the scene's integrator type")
     ap.add_argument("--sampler", default=None,
                     choices=["independent", "sobol"],
@@ -236,9 +237,12 @@ def main(argv=None):
         print(f"wrote {dump_path}")
         return
 
-    if integ_kind == "light_tracer":
-        from .models.light_tracer import render_pass_lt
-        f = jax.jit(render_pass_lt)
+    if integ_kind in ("light_tracer", "bidirectional_path_tracer"):
+        if integ_kind == "light_tracer":
+            from .models.light_tracer import render_pass_lt as _pass
+        else:
+            from .models.bdpt import render_pass_bdpt as _pass
+        f = jax.jit(_pass)
         acc = film
         for s in range(spp_start, spp_start + spp):
             img_s = f(scene, jnp.int32(s))
