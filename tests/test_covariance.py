@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,8 @@ from tungsten_tpu.ops.covariance import SquaredExponentialCov
 def make_cov(aniso=(1.0, 1.0, 1.0), sigma=1.3, l=0.7):
     return SquaredExponentialCov.create(sigma=sigma, l=l, aniso=aniso)
 
+
+pytestmark = pytest.mark.smoke
 
 def test_splat3_grad_matches_autodiff():
     cov = make_cov(aniso=(1.0, 2.0, 0.5))

@@ -1,8 +1,11 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from tungsten_tpu.utils import rng
 
+
+pytestmark = pytest.mark.smoke
 
 def test_xxhash32_matches_reference_algorithm():
     # Independent evaluation of the public xxhash32-style avalanche for a

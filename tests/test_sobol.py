@@ -1,4 +1,5 @@
 """Sobol/QMC sampler: stratification quality and determinism."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +8,8 @@ from tungsten_tpu.models.integrator import _make_draw, _ray_key
 from tungsten_tpu.utils import rng as trng
 from tungsten_tpu.utils.sobol import DIMS, sobol_point
 
+
+pytestmark = pytest.mark.smoke
 
 def test_sobol_points_low_discrepancy():
     pts = np.stack([sobol_point(i) for i in range(16)])

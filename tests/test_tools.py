@@ -93,3 +93,35 @@ def test_obj2json_and_json2xml(tmp_path):
     json2xml.main([sj, xj])
     txt = open(xj).read()
     assert "<scene" in txt and "perspective" in txt
+
+
+def test_resume_continues_sampler_streams(tmp_path):
+    """Resume must continue the per-spp sample streams, not repeat them:
+    2 spp + resumed 2 spp == uninterrupted 4 spp, bit-exact
+    (PathTraceIntegrator.cpp:165-179 sampler-state resume semantics; the
+    counter-based sampler makes the state the spp index itself)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tungsten_tpu.render import render
+    from tungsten_tpu.scene.parse import scene_from_dict
+    doc = {
+        "bsdfs": [{"name": "w", "albedo": 0.6, "type": "lambert"}],
+        "primitives": [
+            {"name": "f", "transform": {"scale": [2, 1, 2]}, "type": "quad",
+             "bsdf": "w"},
+            {"name": "l",
+             "transform": {"position": [0, 1.5, 0], "scale": [0.5, 1, 0.5],
+                           "rotation": [0, 0, -180]},
+             "type": "quad", "bsdf": "w", "emission": [5, 5, 5]},
+        ],
+        "camera": {"type": "pinhole", "fov": 45, "resolution": [8, 8],
+                   "transform": {"position": [0, 1, 2.5],
+                                 "look_at": [0, 0.5, 0], "up": [0, 1, 0]}},
+        "integrator": {"max_bounces": 2},
+    }
+    scene, _ = scene_from_dict(doc)
+    full = render(scene, 4)
+    part = render(scene, 2)
+    resumed = render(scene, 2, spp_start=2, film=part)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(resumed))

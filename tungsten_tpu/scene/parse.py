@@ -381,6 +381,11 @@ def parse_gp(g: dict, base_dir=".") -> sc.GP:
         nrm_u = nrm[idx]
         cap = int(g.get("conditioning_max_points", 192))
         if len(pos_u) > cap:
+            import warnings
+            warnings.warn(
+                f"conditioning mesh has {len(pos_u)} unique vertices; "
+                f"subsampling to conditioning_max_points={cap} (raise the "
+                "scene's conditioning_max_points for hero fidelity)")
             sel = np.random.default_rng(0).choice(len(pos_u), cap,
                                                   replace=False)
             pos_u, nrm_u = pos_u[sel], nrm_u[sel]
@@ -745,6 +750,7 @@ def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
         low_order_scattering=bool(integ.get("low_order_scattering", True)),
         include_surfaces=bool(integ.get("include_surfaces", True)),
         cam_medium=cam_medium,
+        shadow_hops=int(integ.get("shadow_hops", 3)),
     ), rdoc
 
 
