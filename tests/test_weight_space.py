@@ -68,3 +68,64 @@ def test_global_context_strips_bounce():
     c = ws.realization_key(jnp.array([1, 2, 3, 9], jnp.uint32), 0, False)
     assert int(a) == int(b)
     assert int(a) != int(c)
+
+
+def test_range_bound_sound():
+    """The segment range bound must contain every sampled value inside the
+    segment (soundness of the affine-arithmetic replacement)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tungsten_tpu.ops import weight_space as ws
+    from tungsten_tpu.scene.parse import parse_gp
+    gp = parse_gp({"mean": {"type": "spherical", "center": [0, 0, 0],
+                            "radius": 0.4},
+                   "covariance": {"type": "squared_exponential",
+                                  "sigma": 0.2, "lengthScale": 0.3}})
+    pss = jnp.array([3, 7, 1, 0], jnp.uint32)
+    real = ws.sample_realization(gp.cov, 64, pss, 0, False)
+    ro = jnp.array([0.0, 0.1, 1.4])
+    rd = jnp.array([0.1, -0.05, -1.0])
+    rd = rd / jnp.linalg.norm(rd)
+    for (t0, t1) in [(0.0, 0.3), (0.5, 0.52), (0.9, 1.8), (2.0, 2.001)]:
+        lo, hi = ws.range_bound_segment(real, gp, ro, rd,
+                                        jnp.float32(t0), jnp.float32(t1))
+        ts = jnp.linspace(t0, t1, 200)
+        vals = jax.vmap(lambda t: ws.evaluate(real, gp, ro + t * rd)[0])(ts)
+        assert float(vals.min()) >= float(lo) - 1e-4, (t0, t1)
+        assert float(vals.max()) <= float(hi) + 1e-4, (t0, t1)
+
+
+def test_sphere_trace_matches_fixed_step():
+    """step_size=0 adaptive sphere trace finds the same crossings as a fine
+    fixed-step scan of the same realization."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tungsten_tpu.ops import weight_space as ws
+    from tungsten_tpu.scene.parse import parse_gp
+    gp = parse_gp({"mean": {"type": "spherical", "center": [0, 0, 0],
+                            "radius": 0.4},
+                   "covariance": {"type": "squared_exponential",
+                                  "sigma": 0.1, "lengthScale": 0.25}})
+    for lane in range(6):
+        pss = jnp.array([lane, 11, 2, 0], jnp.uint32)
+        real = ws.sample_realization(gp.cov, 96, pss, 0, False)
+        ro = jnp.array([0.02 * lane, 0.1, 1.4])
+        rd = jnp.array([0.05, -0.04, -1.0])
+        rd = rd / jnp.linalg.norm(rd)
+        hit, t_hit = ws.sphere_trace_segment(real, gp, ro, rd,
+                                             jnp.float32(0.0),
+                                             jnp.float32(3.0),
+                                             min_step=5e-4)
+        # dense scan oracle
+        ts = jnp.linspace(0.0, 3.0, 4000)
+        vals = jax.vmap(lambda t: ws.evaluate(real, gp, ro + t * rd)[0])(ts)
+        signs = jnp.sign(vals)
+        flips = signs[1:] != signs[:-1]
+        any_flip = bool(jnp.any(flips))
+        assert bool(hit) == any_flip, lane
+        if any_flip:
+            t_ref = float(ts[jnp.argmax(flips)])
+            assert abs(float(t_hit) - t_ref) < 5e-3, (lane, float(t_hit),
+                                                      t_ref)

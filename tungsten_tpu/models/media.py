@@ -56,8 +56,8 @@ NORMAL_GGX = "ggx"
 
 
 @struct(meta=("kind", "min_step", "max_march_steps", "normal_method",
-              "sample_points", "basis_functions", "skip_space", "phase_kind",
-              "phase_bsdf", "march_block"))
+              "sample_points", "basis_functions", "skip_space",
+              "ws_sphere_trace", "phase_kind", "phase_bsdf", "march_block"))
 class Medium:
     """One medium's static config + differentiable parameters."""
     sigma_a: jnp.ndarray  # [3]
@@ -81,6 +81,7 @@ class Medium:
     sample_points: int = static_field(default=32)  # function space
     basis_functions: int = static_field(default=300)  # weight space
     skip_space: float = static_field(default=0.0)  # cdf free-flight skip
+    ws_sphere_trace: bool = static_field(default=False)  # step_size==0 mode
     phase_kind: str = static_field(default="isotropic")
     phase_bsdf: int = static_field(default=-1)  # BRDF-phase bsdf index
     march_block: int = static_field(default=8)  # steps per while-iteration
@@ -732,8 +733,20 @@ def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
         (med, ro, rd, near, far_eff, state))
     value_at_d = make_value_at(med_d, scene_seed, ro_d, rd_d, near_d,
                                state_d, pss)
-    m = march(med_d, value_at_d, ro_d, rd_d, near_d, far_d, state_d, pss,
-              u_jitter, active)
+    if med.kind == GPIS_WEIGHT_SPACE and med.ws_sphere_trace:
+        # step_size == 0: adaptive range-bounded sphere trace instead of the
+        # fixed-step march (WeightSpaceGaussianProcessMedium.cpp:186-235)
+        def one_st(o, d, nr, fr, ps, fs):
+            real = _ws_real(med_d, ps, scene_seed)
+            nr2 = nr + jnp.where(fs, 0.0, 2e-3)  # skip the start surface
+            return ws.sphere_trace_segment(real, med_d.gp, o, d, nr2, fr)
+        hit_st, t_st = jax.vmap(one_st)(ro_d, rd_d, near_d, far_d, pss,
+                                        state_d.first_scatter)
+        m = {"hit": hit_st & active, "t": jnp.where(active, t_st, far_d),
+             "sign0": jnp.ones_like(t_st)}
+    else:
+        m = march(med_d, value_at_d, ro_d, rd_d, near_d, far_d, state_d,
+                  pss, u_jitter, active)
 
     hit = m["hit"]
     t = m["t"]

@@ -111,3 +111,95 @@ def lipschitz(real, gp):
     b = real.basis
     l = jnp.sum(jnp.abs(real.weights * b.freqs)) * jnp.sqrt(2.0 / b.n)
     return jnp.sqrt(gp.cov.cov(jnp.zeros(3), jnp.zeros(3))) * l + gp.mean.lipschitz()
+
+
+def _cos_interval(lo, hi):
+    """Exact range of cos over the phase interval [lo, hi] (elementwise).
+
+    Replaces the reference's affine-arithmetic aff_cos enclosure
+    (AffineArithmetic.hpp:27-444) with the tight trigonometric interval:
+    max is 1 iff [lo,hi] contains an even multiple of pi, min is -1 iff it
+    contains an odd multiple; otherwise the extrema sit at the endpoints."""
+    width = hi - lo
+    c_lo = jnp.cos(lo)
+    c_hi = jnp.cos(hi)
+    cmin = jnp.minimum(c_lo, c_hi)
+    cmax = jnp.maximum(c_lo, c_hi)
+    two_pi = 2.0 * jnp.pi
+    # does [lo, hi] contain 2k*pi?  floor comparison on lo/2pi vs hi/2pi
+    k_even = jnp.floor(hi / two_pi) - jnp.floor(lo / two_pi) >= 1.0
+    k_odd = (jnp.floor((hi - jnp.pi) / two_pi)
+             - jnp.floor((lo - jnp.pi) / two_pi)) >= 1.0
+    wide = width >= two_pi
+    cmax = jnp.where(k_even | wide, 1.0, cmax)
+    cmin = jnp.where(k_odd | wide, -1.0, cmin)
+    return cmin, cmax
+
+
+def range_bound_segment(real, gp, ro, rd, t0, t1):
+    """Interval bound [lo, hi] of f over the ray segment [t0, t1]
+    (WeightSpaceRealization::rangeBound, WeightSpaceGaussianProcess.cpp:
+    91-118, used by the adaptive sphere trace at
+    WeightSpaceGaussianProcessMedium.cpp:186-235).
+
+    The noise term is exact per basis function (each phase is affine in t);
+    the mean term uses midpoint +/- Lipschitz * half-length."""
+    b = real.basis
+    proj_o = jnp.einsum("nd,d->n", b.dirs, ro, precision="highest")
+    proj_d = jnp.einsum("nd,d->n", b.dirs, rd, precision="highest")
+    a = b.freqs * proj_o + b.offsets
+    slope = b.freqs * proj_d
+    th0 = a + slope * t0
+    th1 = a + slope * t1
+    lo_th = jnp.minimum(th0, th1)
+    hi_th = jnp.maximum(th0, th1)
+    cmin, cmax = _cos_interval(lo_th, hi_th)
+    amp = real.weights * jnp.sqrt(2.0 / b.n)
+    term_lo = jnp.minimum(amp * cmin, amp * cmax)
+    term_hi = jnp.maximum(amp * cmin, amp * cmax)
+    pm = ro + 0.5 * (t0 + t1)[..., None] * rd
+    scale = jnp.sqrt(gp.cov.cov(pm, pm))
+    n_lo = scale * jnp.sum(term_lo)
+    n_hi = scale * jnp.sum(term_hi)
+    m_mid, _ = gp.mean_and_id(pm)
+    half = 0.5 * (t1 - t0) * gp.mean.lipschitz()
+    return n_lo + m_mid - half, n_hi + m_mid + half
+
+
+def sphere_trace_segment(real, gp, ro, rd, near, far, min_step=1e-3,
+                         max_iters=256):
+    """Adaptive range-bounded root search along [near, far]
+    (WeightSpaceGaussianProcessMedium.cpp:186-235): grow the step while the
+    segment bound excludes zero, shrink on a potential crossing; declare a
+    hit when the step underflows min_step on a sign-ambiguous segment.
+
+    Returns (hit, t_hit).  Designed for vmap over rays."""
+    f0, _ = evaluate(real, gp, ro + near * rd)
+    sign0 = jnp.where(f0 < 0.0, -1.0, 1.0)
+
+    def cond(c):
+        return (~c["done"]) & (c["it"] < max_iters)
+
+    def body(c):
+        t = c["t"]
+        step = c["step"]
+        lo, hi = range_bound_segment(real, gp, ro, rd, t, t + step)
+        # zero cannot occur in segments where sign0 * bound stays positive
+        no_cross = jnp.where(sign0 > 0, lo > 0.0, hi < 0.0)
+        converged = (~no_cross) & (step <= min_step)
+        t_new = jnp.where(no_cross, t + step, t)
+        step_new = jnp.where(no_cross, step * 1.6, step * 0.5)
+        step_new = jnp.maximum(step_new, min_step * 0.5)
+        exited = t_new >= far
+        return {
+            "t": t_new, "step": jnp.minimum(step_new, far - t_new + 1e-6),
+            "it": c["it"] + 1,
+            "done": c["done"] | converged | exited,
+            "hit": c["hit"] | converged,
+        }
+
+    init = {"t": near, "step": jnp.maximum((far - near) * 0.05, min_step),
+            "it": jnp.int32(0), "done": jnp.asarray(False),
+            "hit": jnp.asarray(False)}
+    out = jax.lax.while_loop(cond, body, init)
+    return out["hit"], jnp.where(out["hit"], out["t"], far)

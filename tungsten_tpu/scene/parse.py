@@ -497,6 +497,8 @@ def parse_medium(m: dict, bsdf_names: dict, base_dir=".") -> md.Medium:
         kind=kind,
         min_step=int(m.get("min_step", 8)),
         skip_space=float(m.get("skip_space", 0.0)),
+        ws_sphere_trace=(kind == md.GPIS_WEIGHT_SPACE
+                         and float(m.get("step_size", 0.01)) == 0.0),
         normal_method=m.get("normal_method", "conditioned_gaussian"),
         sample_points=int(m.get("sample_points", 32)),
         basis_functions=int(m.get("basis_functions", 300)),
