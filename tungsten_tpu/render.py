@@ -163,7 +163,8 @@ def main(argv=None):
                     choices=["linear", "gamma", "reinhard", "filmic"])
     ap.add_argument("--integrator", default=None,
                     choices=["path_tracer", "light_tracer",
-                             "bidirectional_path_tracer"],
+                             "bidirectional_path_tracer", "photon_map",
+                             "progressive_photon_map"],
                     help="overrides the scene's integrator type")
     ap.add_argument("--sampler", default=None,
                     choices=["independent", "sobol"],
@@ -237,9 +238,17 @@ def main(argv=None):
         print(f"wrote {dump_path}")
         return
 
-    if integ_kind in ("light_tracer", "bidirectional_path_tracer"):
+    H, W = scene.camera.res_y, scene.camera.res_x
+    if integ_kind == "progressive_photon_map":
+        from .models.photon_map import render_ppm
+        img = np.asarray(render_ppm(scene, n_passes=spp)).reshape(H, W, 3)
+        film, done = img, [1]
+    elif integ_kind in ("light_tracer", "bidirectional_path_tracer",
+                        "photon_map"):
         if integ_kind == "light_tracer":
             from .models.light_tracer import render_pass_lt as _pass
+        elif integ_kind == "photon_map":
+            from .models.photon_map import render_pass_pm as _pass
         else:
             from .models.bdpt import render_pass_bdpt as _pass
         f = jax.jit(_pass)
@@ -249,7 +258,8 @@ def main(argv=None):
             acc = img_s if acc is None else acc + img_s
             progress(s, acc)
         film = acc
-        img = np.asarray(film) / done[0]
+        # secondary integrators return flat [H*W, 3] films
+        img = np.asarray(film).reshape(H, W, 3) / done[0]
     elif args.adaptive > 0 and spp_start == 0:
         film, cnt = render_adaptive(scene, spp, args.adaptive,
                                     progress=progress, sampler=sampler)
