@@ -20,6 +20,7 @@ import numpy as np
 
 from ..utils.pytree import struct
 from ..utils.vecmath import dot, normalize
+from . import fiber as fb
 from . import ndf as nd
 
 NULL = 0
@@ -41,6 +42,14 @@ MIXED = 15
 SMOOTH_COAT = 16
 ROUGH_COAT = 17
 NDF_BSDF = 18
+ROUGH_WIRE = 19
+LAMBERT_FIBER = 20
+HAIR = 21
+
+# fiber/hair BCSDFs (RoughWireBcsdf.cpp, LambertianFiberBcsdf.cpp,
+# HairBcsdf.cpp) — local frame has +y along the fiber tangent; eval returns
+# the full BCSDF integrand (no extra |cos| — see models/fiber.py)
+FIBER_KINDS = (ROUGH_WIRE, LAMBERT_FIBER, HAIR)
 
 SPECULAR_KINDS = (MIRROR, CONDUCTOR, DIELECTRIC, THIN_SHEET)
 # kinds that hold a reference to another table row (one nesting level only,
@@ -65,6 +74,12 @@ class BsdfTable:
     sub_a: jnp.ndarray  # [B] substrate / base / bsdf0 row index
     sub_b: jnp.ndarray  # [B] bsdf1 row index (mixed)
     kinds_static: tuple = ()  # python-side mirror of `kind` for static queries
+    # hair BCSDF azimuthal tables (precomputed at build, models/fiber.py);
+    # H = number of hair rows in the scene (1 dummy slot when none)
+    hair_idx: jnp.ndarray = None    # [B] int32 row -> hair slot (-1 = none)
+    hair_table: jnp.ndarray = None  # [H,3,64,64,3]
+    hair_cdf: jnp.ndarray = None    # [H,3,64,65]
+    hair_wsum: jnp.ndarray = None   # [H,3,64]
 
 
 def build_table(bsdfs: list[dict]) -> BsdfTable:
@@ -107,9 +122,28 @@ def build_table(bsdfs: list[dict]) -> BsdfTable:
         elif b["kind"] in (SMOOTH_COAT, ROUGH_COAT):
             p0[i] = b.get("thickness", 1.0)
             ior[i] = b.get("ior", 1.3)
+        elif b["kind"] == HAIR:
+            p0[i] = np.radians(b.get("scale_angle", 2.0))
         sa[i] = np.asarray(b.get("sigma_a", (0.0, 0.0, 0.0)), np.float32)
         sub_a[i] = b.get("sub_a", i)
         sub_b[i] = b.get("sub_b", i)
+    # hair azimuthal tables (build-time numpy precompute, models/fiber.py)
+    hair_rows = [i for i, b in enumerate(bsdfs) if b["kind"] == HAIR]
+    H = max(len(hair_rows), 1)
+    hidx = np.full(B, -1, np.int32)
+    htab = np.zeros((H, 3, fb._RES, fb._RES, 3), np.float32)
+    hcdf = np.zeros((H, 3, fb._RES, fb._RES + 1), np.float32)
+    hw = np.zeros((H, 3, fb._RES), np.float32)
+    for hslot, i in enumerate(hair_rows):
+        b = bsdfs[i]
+        sig = b.get("sigma_a")
+        if sig is None:
+            sig = fb.hair_sigma_a(b.get("melanin_ratio", 0.5),
+                                  b.get("melanin_concentration", 0.25))
+        pre = fb.precompute_hair(sig, b.get("roughness", 0.1))
+        htab[hslot], hcdf[hslot], hw[hslot] = (pre["table"], pre["cdf"],
+                                               pre["wsum"])
+        hidx[i] = hslot
     return BsdfTable(kind=jnp.asarray(kind), albedo=jnp.asarray(albedo),
                      ior=jnp.asarray(ior), roughness=jnp.asarray(rough),
                      eta=jnp.asarray(eta), k=jnp.asarray(kk),
@@ -118,7 +152,9 @@ def build_table(bsdfs: list[dict]) -> BsdfTable:
                      p0=jnp.asarray(p0), p1=jnp.asarray(p1),
                      sigma_a=jnp.asarray(sa),
                      sub_a=jnp.asarray(sub_a), sub_b=jnp.asarray(sub_b),
-                     kinds_static=tuple(int(k) for k in kind))
+                     kinds_static=tuple(int(k) for k in kind),
+                     hair_idx=jnp.asarray(hidx), hair_table=jnp.asarray(htab),
+                     hair_cdf=jnp.asarray(hcdf), hair_wsum=jnp.asarray(hw))
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +219,14 @@ def is_forward(table, bi):
 
 def is_null(table, bi):
     return table.kind[bi] == NULL
+
+
+def _hair_params(table, bi):
+    """(scale_rad, vR, vTT, vTRT) from the row's roughness/p0
+    (HairBcsdf::prepareForRender, HairBcsdf.cpp:417-427)."""
+    beta_r = jnp.maximum(np.pi / 2.0 * table.roughness[bi], 0.04)
+    return (table.p0[bi], beta_r * beta_r,
+            (beta_r * 0.5) ** 2, (beta_r * 2.0) ** 2)
 
 
 def _eval_simple(table, bi, wi, wo):
@@ -297,7 +341,31 @@ def _eval_simple(table, bi, wi, wo):
                    [f_lam, f_on, f_rc, f_pl_diff, f_rp, f_rd,
                     f_ph, f_dt, f_ndf], 0.0)
     two_sided = (k == ROUGH_DIELECTRIC) | (k == DIFFUSE_TRANSMISSION)
-    return jnp.where((same_side | two_sided)[..., None], f, 0.0)
+    f = jnp.where((same_side | two_sided)[..., None], f, 0.0)
+
+    # ---- fiber BCSDFs (full-sphere, +y tangent frame; models/fiber.py) ----
+    if any(kk in FIBER_KINDS for kk in table.kinds_static):
+        c_half = jnp.sqrt(jnp.maximum(
+            0.5 * (1.0 + jnp.sum(wi * wo, -1)), 0.0))
+        Fw = conductor_fresnel(table.eta[bi], table.k[bi],
+                               c_half[..., None])
+        f_wire = albedo * Fw * fb.wire_eval_pdf(
+            wi, wo, fb.wire_v(table.roughness[bi]))[..., None]
+        f = jnp.where(jnp.broadcast_to(k == ROUGH_WIRE, f.shape),
+                      f_wire, f)
+        f_lf = albedo * fb.lambertian_cylinder(wo)[..., None]
+        f = jnp.where(jnp.broadcast_to(k == LAMBERT_FIBER, f.shape),
+                      f_lf, f)
+        if HAIR in table.kinds_static:
+            sr, vR, vTT, vTRT = _hair_params(table, bi)
+            for h in range(table.hair_table.shape[0]):
+                hd = dict(table=table.hair_table[h],
+                          cdf=table.hair_cdf[h], wsum=table.hair_wsum[h])
+                fh = fb.hair_eval(hd, wi, wo, sr, vR, vTT, vTRT)
+                f = jnp.where(jnp.broadcast_to(
+                    (k == HAIR) & (table.hair_idx[bi] == h), f.shape),
+                    fh, f)
+    return f
 
 
 def _pdf_simple(table, bi, wi, wo):
@@ -365,6 +433,21 @@ def _pdf_simple(table, bi, wi, wo):
     pdf = jnp.where(k == DIFFUSE_TRANSMISSION, p_dt, pdf)
 
     pdf = jnp.where((k == NDF_BSDF) & (czi > 0) & (czo > 0), p_spec, pdf)
+
+    # fiber BCSDFs: pdf == azimuthal*longitudinal shape (RoughWireBcsdf
+    # .cpp:162-175, LambertianFiberBcsdf.cpp:64-69, HairBcsdf::pdf)
+    if any(kk in FIBER_KINDS for kk in table.kinds_static):
+        pdf = jnp.where(k == ROUGH_WIRE, fb.wire_eval_pdf(
+            wi, wo, fb.wire_v(table.roughness[bi])), pdf)
+        pdf = jnp.where(k == LAMBERT_FIBER, fb.lambertian_cylinder(wo), pdf)
+        if HAIR in table.kinds_static:
+            sr, vR, vTT, vTRT = _hair_params(table, bi)
+            for h in range(table.hair_table.shape[0]):
+                hd = dict(table=table.hair_table[h],
+                          cdf=table.hair_cdf[h], wsum=table.hair_wsum[h])
+                pdf = jnp.where((k == HAIR) & (table.hair_idx[bi] == h),
+                                fb.hair_pdf(hd, wi, wo, sr, vR, vTT, vTRT),
+                                pdf)
     return pdf
 
 
@@ -578,6 +661,49 @@ def _sample_simple(table, bi, wi, u):
         [diffuse_ok, rc_ok & diffuse_ok, rp_ok & diffuse_ok, rd_ok,
          ph_ok, rc_ok & diffuse_ok],
         k != NULL)
+
+    # ---- fiber BCSDFs (models/fiber.py; +y tangent, full sphere) ----------
+    if any(kk in FIBER_KINDS for kk in table.kinds_static):
+        albedo_f = table.albedo[bi]
+        wo_w, p_w = fb.wire_sample(wi, fb.wire_v(table.roughness[bi]),
+                                   u[0], u[1], u[2])
+        c_half = jnp.sqrt(jnp.maximum(
+            0.5 * (1.0 + jnp.sum(wi * wo_w, -1)), 0.0))
+        w_w = albedo_f * conductor_fresnel(table.eta[bi], table.k[bi],
+                                           c_half[..., None])
+        is_w = k == ROUGH_WIRE
+        wo = jnp.where(jnp.broadcast_to(is_w, wo.shape), wo_w, wo)
+        weight = jnp.where(jnp.broadcast_to(is_w, weight.shape), w_w, weight)
+        pdf = jnp.where(is_w, p_w, pdf)
+        valid = jnp.where(is_w, p_w > 1e-9, valid)
+        specular = jnp.where(is_w, False, specular)
+
+        wo_l, p_l = fb.lambertian_fiber_sample(wi, u[0], u[1], u[2])
+        is_l = k == LAMBERT_FIBER
+        wo = jnp.where(jnp.broadcast_to(is_l, wo.shape), wo_l, wo)
+        weight = jnp.where(jnp.broadcast_to(is_l, weight.shape),
+                           albedo_f, weight)
+        pdf = jnp.where(is_l, p_l, pdf)
+        valid = jnp.where(is_l, p_l > 1e-9, valid)
+        specular = jnp.where(is_l, False, specular)
+
+        if HAIR in table.kinds_static:
+            sr, vR, vTT, vTRT = _hair_params(table, bi)
+            u4 = jnp.stack([u[0], u[1], u[2], u[3]], -1)
+            for h in range(table.hair_table.shape[0]):
+                hd = dict(table=table.hair_table[h],
+                          cdf=table.hair_cdf[h], wsum=table.hair_wsum[h])
+                wo_h, p_h = fb.hair_sample(hd, wi, sr, vR, vTT, vTRT, u4)
+                f_h = fb.hair_eval(hd, wi, wo_h, sr, vR, vTT, vTRT)
+                w_h = f_h / jnp.maximum(p_h, 1e-9)[..., None]
+                is_h = (k == HAIR) & (table.hair_idx[bi] == h)
+                wo = jnp.where(jnp.broadcast_to(is_h, wo.shape), wo_h, wo)
+                weight = jnp.where(jnp.broadcast_to(is_h, weight.shape),
+                                   w_h, weight)
+                pdf = jnp.where(is_h, p_h, pdf)
+                valid = jnp.where(is_h, p_h > 1e-9, valid)
+                specular = jnp.where(is_h, False, specular)
+
     return {"wo": wo, "weight": weight, "pdf": pdf, "specular": specular,
             "valid": valid}
 

@@ -434,7 +434,10 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
         _cat(uj, uj), _cat(valid1, hit_light2))
     tr1, tr2 = tr[:R], tr[R:]
 
-    mis1 = jnp.where(disable_mis, 1.0, _power_heuristic(lpdf, mat_pdf1))
+    # Dirac point lights are unhittable by the material strategy — no MIS
+    # (Point.cpp isDirac; TraceBase skips MIS for Dirac light samples)
+    mis1 = jnp.where(disable_mis | (lk == pr.PRIM_POINT), 1.0,
+                     _power_heuristic(lpdf, mat_pdf1))
     w_est1 = jax.lax.stop_gradient(
         tr1 * (mis1 / jnp.maximum(lpdf, 1e-9) * light_weight)[:, None]
     ) * ratio1[:, None]

@@ -31,6 +31,13 @@ PRIM_SPHERE = 1
 PRIM_CUBE = 2
 PRIM_DISK = 3
 PRIM_MESH = 4
+# cylinder: unit cylinder along local +y, radius/halfHeight from the
+# transform, optional caps (Cylinder.cpp:56-113).  scale = (capped,
+# halfHeight, _); radius field holds the radius.
+PRIM_CYLINDER = 5
+# point: non-intersectable Dirac light (Point.cpp:31-34; sampleDirect
+# pdf = r^2, Point.cpp:98-115)
+PRIM_POINT = 6
 
 _INF = np.float32(3.0e38)
 
@@ -118,6 +125,20 @@ def build_soa(prims: list[dict]) -> PrimitiveSoA:
             r = float(np.linalg.norm(ed0))
             p0[i], n[i], radius[i] = pos, nn / max(a, 1e-20), r
             area[i] = np.pi * r * r
+        elif pr["kind"] == PRIM_CYLINDER:
+            s = np.linalg.norm(tf[:3, :3], axis=0)
+            rr = tf[:3, :3] / s[None, :]
+            r = 0.5 * float(s[0] + s[2])
+            hh = float(s[1])
+            capped = 1.0 if pr.get("capped", True) else 0.0
+            p0[i], radius[i] = pos, r
+            scale[i] = (capped, hh, 0.0)
+            rot[i] = rr.T  # world -> local
+            area[i] = 2.0 * np.pi * r * (2.0 * hh) \
+                + (2.0 * np.pi * r * r if capped else 0.0)
+        elif pr["kind"] == PRIM_POINT:
+            p0[i] = pos
+            area[i] = 0.0
         elif pr["kind"] == PRIM_MESH:
             md = dict(pr["mesh"])  # pos/normal/uv/tris (+smooth)
             lin = tf[:3, :3]
@@ -231,6 +252,58 @@ def _isect_disk(s, ro, rd):
     return jnp.where(valid, t, _INF), back, jnp.broadcast_to(s.n, (s.count, 3))
 
 
+def _isect_cylinder(s, ro, rd):
+    """Side + optional caps in the local frame (Cylinder.cpp:56-113)."""
+    p = jnp.einsum("pij,pj->pi", s.rot, ro[None, :] - s.p0,
+                   precision="highest")
+    d = jnp.einsum("pij,pj->pi", s.rot, jnp.broadcast_to(rd, (s.count, 3)),
+                   precision="highest")
+    inv_r = 1.0 / jnp.maximum(s.radius, 1e-9)
+    hh = s.scale[:, 1]
+    capped = s.scale[:, 0] > 0.5
+    p2 = p[:, (0, 2)] * inv_r[:, None]
+    d2 = d[:, (0, 2)] * inv_r[:, None]
+    A = jnp.maximum(dot(d2, d2), 1e-12)
+    B = dot(p2, d2)
+    C = dot(p2, p2) - 1.0
+    det_sq = B * B - A * C
+    det = jnp.sqrt(jnp.maximum(det_sq, 1e-12))
+    t0 = (-B - det) / A
+    t1 = (-B + det) / A
+    h0 = p[:, 1] + d[:, 1] * t0
+    h1 = p[:, 1] + d[:, 1] * t1
+    ok0 = (det_sq >= 0) & (t0 > 1e-4) & (jnp.abs(h0) <= hh)
+    ok1 = (det_sq >= 0) & (t1 > 1e-4) & (jnp.abs(h1) <= hh)
+    t_side = jnp.where(ok0, t0, jnp.where(ok1, t1, _INF))
+    back_side = ~ok0 & ok1
+    # caps
+    dy = jnp.where(jnp.abs(d[:, 1]) < 1e-6,
+                   jnp.where(d[:, 1] < 0, -1e-6, 1e-6), d[:, 1])
+    t_cap = _INF
+    cap_sign = jnp.zeros(s.count)
+    for sign in (1.0, -1.0):
+        tcs = (sign * hh - p[:, 1]) / dy
+        ph = p2 + tcs[:, None] * d2
+        okc = capped & (tcs > 1e-4) & (dot(ph, ph) < 1.0)
+        better = okc & (tcs < t_cap)
+        cap_sign = jnp.where(better, sign, cap_sign)
+        t_cap = jnp.where(better, tcs, t_cap)
+    use_cap = t_cap < t_side
+    t = jnp.minimum(t_side, t_cap)
+    hit = t < _INF
+    # normals (local): side (x,0,z)/r at hit; cap (0,±1,0)
+    ph_side = p2 + jnp.where(hit, t, 0.0)[:, None] * d2
+    n_loc = jnp.stack([ph_side[:, 0], jnp.zeros(s.count), ph_side[:, 1]],
+                      -1)
+    n_cap = jnp.stack([jnp.zeros(s.count), cap_sign,
+                       jnp.zeros(s.count)], -1)
+    n_loc = jnp.where(use_cap[:, None], n_cap, n_loc)
+    normal = jnp.einsum("pji,pj->pi", s.rot, n_loc, precision="highest")
+    normal = safe_normalize(normal)
+    back = jnp.where(use_cap, cap_sign * d[:, 1] > 0.0, back_side)
+    return jnp.where(hit, t, _INF), back, normal
+
+
 def intersect(soa: PrimitiveSoA, ro, rd, near, far):
     """Closest hit of one ray against all prims.
 
@@ -250,6 +323,11 @@ def intersect(soa: PrimitiveSoA, ro, rd, near, far):
     nrm = jnp.select([(k == PRIM_QUAD)[:, None], (k == PRIM_SPHERE)[:, None],
                       (k == PRIM_CUBE)[:, None], (k == PRIM_DISK)[:, None]],
                      [nq, ns, nc, nd], 0.0)
+    tcy, bcy, ncy = _isect_cylinder(soa, ro, rd)
+    is_cy = k == PRIM_CYLINDER
+    t = jnp.where(is_cy, tcy, t)
+    back = jnp.where(is_cy, bcy, back)
+    nrm = jnp.where(is_cy[:, None], ncy, nrm)
 
     t = jnp.where((t > near) & (t < far), t, _INF)
     idx = jnp.argmin(t)
@@ -329,6 +407,14 @@ def sample_direct(soa: PrimitiveSoA, li, p, u1, u2):
     pdf = jnp.where(is_quad, pdf_q, pdf_s)
     valid = jnp.where(is_quad, valid_q, valid_s)
 
+    # point light: Dirac direction, pdf = r^2 so weight = Le/r^2
+    # (Point.cpp:98-115; callers must skip MIS — the light is unhittable)
+    is_point = kind == PRIM_POINT
+    d = jnp.where(is_point, Ln, d)
+    dist = jnp.where(is_point, dist_c, dist)
+    pdf = jnp.where(is_point, d2, pdf)
+    valid = jnp.where(is_point, True, valid)
+
     if soa.mesh.has:
         dm, distm, pdfm, vm = sample_direct_mesh(
             soa.mesh, li, soa.area[li], p, u1, u2)
@@ -384,12 +470,32 @@ def sample_position(soa: PrimitiveSoA, li, u1, u2):
                                  precision="highest")
     ncb = jnp.einsum("ji,j->i", soa.rot[li], nl, precision="highest")
 
+    # cylinder: uniform on the side surface (Cylinder.cpp:148-169 without
+    # the cap branch; emission pdf uses the side area only)
+    hh_cy = soa.scale[li, 1]
+    r_cy = soa.radius[li]
+    pcy_l = jnp.stack([r_cy * jnp.cos(phi), (2.0 * u1 - 1.0) * hh_cy,
+                       r_cy * jnp.sin(phi)])
+    ncy_l = jnp.stack([jnp.cos(phi), 0.0 * phi, jnp.sin(phi)])
+    pcy = soa.p0[li] + jnp.einsum("ji,j->i", soa.rot[li], pcy_l,
+                                  precision="highest")
+    ncy = jnp.einsum("ji,j->i", soa.rot[li], ncy_l, precision="highest")
+    inv_area_cy = 1.0 / jnp.maximum(
+        2.0 * jnp.pi * r_cy * 2.0 * hh_cy, 1e-12)
+
     is_sphere = kind == PRIM_SPHERE
     is_disk = kind == PRIM_DISK
     is_cube = kind == PRIM_CUBE
+    is_cyl = kind == PRIM_CYLINDER
+    is_point = kind == PRIM_POINT
     p = jnp.where(is_sphere, ps,
                   jnp.where(is_disk, pd, jnp.where(is_cube, pc, pq)))
+    p = jnp.where(is_cyl, pcy, jnp.where(is_point, soa.p0[li], p))
     n = jnp.where(is_sphere, ns, jnp.where(is_cube, ncb, nq))
+    n = jnp.where(is_cyl, ncy,
+                  jnp.where(is_point, jnp.asarray([0.0, 1.0, 0.0]), n))
+    inv_area = jnp.where(is_cyl, inv_area_cy,
+                         jnp.where(is_point, 1.0, inv_area))
     if soa.mesh.has:
         pm, nm, vm = sample_position_mesh(soa.mesh, li, u1, u2)
         is_mesh = kind == PRIM_MESH

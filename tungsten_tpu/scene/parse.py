@@ -150,6 +150,9 @@ _BSDF_KINDS = {
     "smooth_coat": bs.SMOOTH_COAT,
     "rough_coat": bs.ROUGH_COAT,
     "ndf": bs.NDF_BSDF,
+    "rough_wire": bs.ROUGH_WIRE,
+    "lambertian_fiber": bs.LAMBERT_FIBER,
+    "hair": bs.HAIR,
 }
 
 _NDF_DISTS = {"ggx": 0, "beckmann": 1, "phong": 1}
@@ -185,6 +188,15 @@ def parse_bsdf(b: dict, resolve=None) -> dict:
         sa = b.get("sigma_a", 0.0)
         out["sigma_a"] = ((sa,) * 3 if isinstance(sa, (int, float))
                           else tuple(sa))
+    if kind == bs.HAIR:
+        out["scale_angle"] = float(b.get("scale_angle", 2.0))
+        out["melanin_ratio"] = float(b.get("melanin_ratio", 0.5))
+        out["melanin_concentration"] = float(
+            b.get("melanin_concentration", 0.25))
+        if "sigma_a" in b:
+            sa = b["sigma_a"]
+            out["sigma_a"] = ((sa,) * 3 if isinstance(sa, (int, float))
+                              else tuple(sa))
     if resolve is not None and kind in bs.NESTED_KINDS:
         if kind == bs.MIXED:
             out["sub_a"] = resolve(b.get("bsdf0", {"type": "lambert"}))
@@ -546,7 +558,8 @@ def parse_transmittance(tdoc):
 # Scene assembly
 # ---------------------------------------------------------------------------
 
-_PRIM_KINDS = {"quad": pr.PRIM_QUAD, "sphere": pr.PRIM_SPHERE,
+_PRIM_KINDS = {"cylinder": pr.PRIM_CYLINDER, "point": pr.PRIM_POINT,
+               "quad": pr.PRIM_QUAD, "sphere": pr.PRIM_SPHERE,
                "cube": pr.PRIM_CUBE, "disk": pr.PRIM_DISK}
 
 
@@ -688,8 +701,44 @@ def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
             entry["kind"] = pr.PRIM_MESH
             entry["mesh"] = load_mesh(os.path.join(base_dir, p["file"]))
             entry["smooth"] = bool(p.get("smooth", True))
+        elif t == "instances":
+            # Instance.cpp:60-90 — master prim(s) replicated per transform.
+            # TPU-native: expand statically into the SoA (no indirection);
+            # supports the inline `instances: [{transform}, ...]` array form.
+            masters = p.get("master", [])
+            if isinstance(masters, dict):
+                masters = [masters]
+            inst = p.get("instances", [])
+            if not isinstance(inst, list):
+                raise ValueError("instances: only the inline transform-array "
+                                 "form is supported (no binary .imd files)")
+            base_tf = np.asarray(entry["transform"], np.float32)
+            for it in inst:
+                it_tf = parse_transform(it.get("transform", it)
+                                        if isinstance(it, dict) else None)
+                for m in masters:
+                    mt = m.get("type", "quad")
+                    if mt not in _PRIM_KINDS:
+                        raise ValueError(
+                            f"instanced primitive type {mt!r} unsupported")
+                    sub = dict(entry)
+                    sub["kind"] = _PRIM_KINDS[mt]
+                    if "capped" in m:
+                        sub["capped"] = bool(m["capped"])
+                    if "bsdf" in m:
+                        sub["bsdf"] = bsdf_index(m["bsdf"])
+                    if "emission" in m:
+                        sub["emission"] = _rgb(m["emission"], (0, 0, 0))
+                    sub["transform"] = (
+                        base_tf @ np.asarray(it_tf, np.float32)
+                        @ np.asarray(parse_transform(m.get("transform")),
+                                     np.float32))
+                    prims.append(sub)
+            continue
         elif t in _PRIM_KINDS:
             entry["kind"] = _PRIM_KINDS[t]
+            if t == "cylinder":
+                entry["capped"] = bool(p.get("capped", True))
         else:
             raise ValueError(f"primitive type {t!r} not supported yet")
         prims.append(entry)
