@@ -116,3 +116,36 @@ def test_gp_cdf():
     p = jnp.array([1.0, 0.0, 0.0])
     np.testing.assert_allclose(float(gpmod.gp_cdf(gp, cov_fn, p)), 0.5,
                                atol=1e-4)
+
+
+def test_constrained_mvn_rejection():
+    """Box-constrained rejection sampling (Gaussian.cpp:179-234): the
+    constrained entry respects the box; unconstrained stats are preserved."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tungsten_tpu.ops import gp as gpmod
+    from tungsten_tpu.utils import rng as trng
+
+    n = 8
+    mean = jnp.zeros(n)
+    cov_sqrt = jnp.eye(n)
+    cmask = jnp.arange(n) == 0
+    keys = jnp.arange(512, dtype=jnp.uint32)
+
+    def draw(k):
+        key = trng.xxhash32_4(k, jnp.uint32(1), jnp.uint32(2), jnp.uint32(3))
+        return gpmod.sample_mvn_constrained(mean, cov_sqrt, key,
+                                            jnp.uint32(0), 0.0,
+                                            jnp.float32(3e38), cmask)
+
+    vals, ok = jax.vmap(draw)(keys)
+    vals = np.asarray(vals)
+    ok = np.asarray(ok)
+    assert ok.mean() > 0.95            # P(pass in 16 tries) = 1 - 2^-16
+    assert (vals[ok, 0] >= 0.0).all()  # constraint honored when satisfied
+    # entry 0 is a positive half-normal: mean ~ sqrt(2/pi)
+    assert abs(vals[ok, 0].mean() - np.sqrt(2 / np.pi)) < 0.1
+    # unconstrained entries keep ~N(0,1) stats
+    assert abs(vals[:, 1:].mean()) < 0.1
+    assert abs(vals[:, 1:].std() - 1.0) < 0.1

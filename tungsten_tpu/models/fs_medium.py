@@ -115,7 +115,16 @@ def _sample_chunk(med, scene_seed, ro_seg, rd, t0, dt, n, carry_val,
         sqrt_cov = jnp.where(later, sqrt_p, sqrt_cov)
         ids = jnp.where(later, ids_p, ids)
     else:
+        # None context: unconditioned prior, but the realization must start
+        # on the outside (positive) side of the surface — box-constrained
+        # rejection on sample 0 (FunctionSpaceGaussianProcessMedium.cpp's
+        # Constraint {0, 0, 0, FLT_MAX}; sampler in Gaussian.cpp:179-234)
         mean, sqrt_cov, ids = gpmod.prior_mvn(gp, cov_fn, pts, dts, dirs)
+        cmask = (jnp.arange(n) == 0)
+        vals, _ok = gpmod.sample_mvn_constrained(
+            mean, sqrt_cov, key, jnp.uint32(11), 0.0, jnp.float32(3e38),
+            cmask)
+        return ts, vals, ids
 
     vals = gpmod.sample_mvn(mean, sqrt_cov, key, jnp.uint32(11))
     return ts, vals, ids

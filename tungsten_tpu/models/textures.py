@@ -82,6 +82,12 @@ def load_bitmap(path):
         return np.asarray(img, np.float32)
     if ext == ".hdr":
         return read_hdr(path)
+    if ext == ".exr":
+        from ..io.exr import read_exr
+        img = read_exr(path)
+        if img.shape[-1] >= 3:
+            return np.ascontiguousarray(img[..., :3], np.float32)
+        return np.repeat(img[..., :1], 3, axis=-1).astype(np.float32)
     from PIL import Image
     im = Image.open(path).convert("RGB")
     arr = np.asarray(im, np.float32) / 255.0

@@ -218,6 +218,31 @@ def sample_mvn(mean, cov_sqrt, key, ctr):
     return mean + cov_sqrt @ z
 
 
+def sample_mvn_constrained(mean, cov_sqrt, key, ctr, lo, hi, cmask,
+                           max_tries=16):
+    """Rejection-sampled realization under box constraints
+    (MultivariateNormalDistribution::sample with Constraints,
+    sampling/Gaussian.cpp:179-234).  cmask [N] bool marks constrained
+    entries; lo/hi are scalars.  The reference retries up to 100000 times
+    sequentially; here a fixed batch of `max_tries` candidates is drawn and
+    the first passing one selected (vectorized, bounded — the last
+    candidate is used when none passes, matching the reference's give-up
+    branch)."""
+    n = mean.shape[-1]
+
+    def draw(i):
+        return sample_mvn(mean, cov_sqrt, key,
+                          ctr + jnp.uint32(1 + i) * jnp.uint32(7919))
+
+    cands = jax.vmap(draw)(jnp.arange(max_tries, dtype=jnp.uint32))
+    in_box = (cands >= lo) & (cands <= hi)
+    ok = jnp.all(in_box | ~cmask[None, :], axis=-1)
+    idx = jnp.argmax(ok)                      # first passing (0 if none)
+    any_ok = jnp.any(ok)
+    pick = jnp.where(any_ok, idx, max_tries - 1)
+    return cands[pick], any_ok
+
+
 def sample_truncated_normal(mean, sigma, a, key, ctr):
     """One-sided truncated normal via inverse-CDF (rand_truncated_normal,
     Gaussian.cpp:57-85): x >= a."""

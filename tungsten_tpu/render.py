@@ -157,6 +157,9 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--sharded", action="store_true",
                     help="shard pixels over all local devices")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the render loop "
+                         "into DIR (view with TensorBoard / Perfetto)")
     ap.add_argument("--aovs", action="store_true",
                     help="also write depth/normal/albedo/visibility buffers")
     ap.add_argument("--tonemap", default="gamma",
@@ -164,7 +167,7 @@ def main(argv=None):
     ap.add_argument("--integrator", default=None,
                     choices=["path_tracer", "light_tracer",
                              "bidirectional_path_tracer", "photon_map",
-                             "progressive_photon_map"],
+                             "progressive_photon_map", "kelemen_mlt"],
                     help="overrides the scene's integrator type")
     ap.add_argument("--sampler", default=None,
                     choices=["independent", "sobol"],
@@ -209,8 +212,16 @@ def main(argv=None):
     def progress(s, f):
         done[0] = s + 1
         el = time.time() - t0
+        H, W = scene.camera.res_y, scene.camera.res_x
+        n_done = max(s + 1 - spp_start, 1)
+        ksps = H * W * n_done / max(el, 1e-6) / 1e3
+        # each pixel-sample casts ~(2 + 2*depth) GPIS-marched rays
+        # (camera + per-bounce scatter + [2R] NEE shadow walk) — the
+        # Mrays/s figure is the SURVEY north-star observability metric
+        mrays = ksps * (2 + 2 * scene.max_bounces) / 1e3
         print(f"spp {s + 1}/{spp_start + spp}  ({el:.1f}s, "
-              f"{el / max(s + 1 - spp_start, 1):.2f}s/spp)", flush=True)
+              f"{el / n_done:.2f}s/spp, {ksps:.1f} Ksamples/s, "
+              f"~{mrays:.2f} Mrays/s)", flush=True)
         if args.checkpoint_interval and (s + 1) % args.checkpoint_interval == 0:
             np.savez(ckpt_path, film=np.asarray(f), spp=s + 1,
                      scene_hash=shash)
@@ -238,17 +249,22 @@ def main(argv=None):
         print(f"wrote {dump_path}")
         return
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
     H, W = scene.camera.res_y, scene.camera.res_x
     if integ_kind == "progressive_photon_map":
         from .models.photon_map import render_ppm
         img = np.asarray(render_ppm(scene, n_passes=spp)).reshape(H, W, 3)
         film, done = img, [1]
     elif integ_kind in ("light_tracer", "bidirectional_path_tracer",
-                        "photon_map"):
+                        "photon_map", "kelemen_mlt"):
         if integ_kind == "light_tracer":
             from .models.light_tracer import render_pass_lt as _pass
         elif integ_kind == "photon_map":
             from .models.photon_map import render_pass_pm as _pass
+        elif integ_kind == "kelemen_mlt":
+            from .models.mlt import render_pass_mlt as _pass
         else:
             from .models.bdpt import render_pass_bdpt as _pass
         f = jax.jit(_pass)
@@ -269,8 +285,18 @@ def main(argv=None):
                       progress=progress, sharded=args.sharded,
                       sampler=sampler)
         img = np.asarray(film) / done[0]
-    write_png(out, img, tonemap=True, curve=args.tonemap)
-    write_pfm(os.path.splitext(out)[0] + ".pfm", img)
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"wrote profiler trace to {args.profile}")
+
+    if out.lower().endswith(".exr"):
+        from .io.exr import write_exr
+        write_exr(out, img)
+        write_png(os.path.splitext(out)[0] + ".png", img, tonemap=True,
+                  curve=args.tonemap)
+    else:
+        write_png(out, img, tonemap=True, curve=args.tonemap)
+        write_pfm(os.path.splitext(out)[0] + ".pfm", img)
     print(f"wrote {out}")
     if srv is not None:
         srv.update(film=img, state="done", spp_done=done[0])

@@ -613,6 +613,14 @@ def parse_env(p: dict, base_dir: str):
                            rot=np.eye(3, dtype=np.float32), img=img,
                            sample=sample)
     em = p.get("emission", (1.0, 1.0, 1.0))
+    if isinstance(em, dict) and em.get("type") == "ies":
+        # IES photometry baked to a lat-long env map (IesTexture.cpp)
+        from ..io.ies import bake_ies
+        img = bake_ies(os.path.join(base_dir, em["file"]),
+                       int(em.get("resolution", 256)))
+        img = img * float(em.get("scale", 1.0))
+        return ev.make_env(ev.ENV_MAP, emission=(1.0, 1.0, 1.0), rot=rot,
+                           img=img, sample=sample)
     if isinstance(em, str):
         from ..models.textures import load_bitmap
         img = load_bitmap(os.path.join(base_dir, em))
