@@ -474,20 +474,39 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
 # The main walk (PathTracer::traceSample, PathTracer.cpp:17-204)
 # ---------------------------------------------------------------------------
 
-def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None):
+def _make_pss_draw(u, fallback_key):
+    """Draw uniforms from an explicit primary-sample-space vector u [R, D]
+    (dim = bounce*64 + slot), hash fallback past D — the MLT path-space
+    parameterization (KelemenMLT's PrimarySample array)."""
+    D = u.shape[1]
+
+    def draw(bounce, slot):
+        dim = bounce * 64 + jnp.int32(slot)
+        v = jnp.take_along_axis(u, jnp.minimum(dim, D - 1)[:, None],
+                                axis=1)[:, 0]
+        return jnp.where(dim < D, v, _u(fallback_key, bounce, slot))
+
+    return draw
+
+
+def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None,
+          pss_u=None):
     """Trace one sample for each pixel in the flat batch.
     px, py: int32 [R]; spp_idx: scalar int32.  Returns radiance [R,3], or
     (radiance, aovs) when want_aovs — depth/normal/albedo/visibility feature
     buffers at the first scattering vertex (PathTracer.cpp:107-125,
     cameras/OutputBufferSettings.hpp:11-18).  qmc: optional [D] Sobol point
-    (utils/sobol.py) for low-discrepancy sampling of the first bounces."""
+    (utils/sobol.py) for low-discrepancy sampling of the first bounces.
+    pss_u: optional [R, D] explicit uniform vector (MLT primary sample
+    space) — overrides the hash sampler entirely for dims < D."""
     R = px.shape[0]
     key = _ray_key(scene, px.astype(jnp.uint32), py.astype(jnp.uint32),
                    jnp.uint32(spp_idx))
     key_pix = trng.xxhash32_4(px.astype(jnp.uint32), py.astype(jnp.uint32),
                               jnp.uint32(0x51CB0113),
                               scene.scene_seed ^ jnp.uint32(0xC9A01E77))
-    draw = _make_draw(key, key_pix, qmc)
+    draw = (_make_draw(key, key_pix, qmc) if pss_u is None
+            else _make_pss_draw(pss_u, key))
     b0 = jnp.zeros(R, jnp.int32)
     uf = jnp.stack([draw(b0, 0), draw(b0, 1)], axis=-1)
     ul = jnp.stack([draw(b0, 2), draw(b0, 3)], axis=-1)
