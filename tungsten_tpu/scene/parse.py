@@ -709,6 +709,24 @@ def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
             entry["kind"] = pr.PRIM_MESH
             entry["mesh"] = load_mesh(os.path.join(base_dir, p["file"]))
             entry["smooth"] = bool(p.get("smooth", True))
+        elif t == "curves":
+            # Curves.cpp: b-spline tubes; here tessellated to triangle
+            # tubes at load and traced via the mesh BVH (io/curveio.py)
+            from ..io.curveio import curves_to_tube_mesh, load_hair
+            if "file" in p:
+                cd = load_hair(os.path.join(base_dir, p["file"]))
+            else:
+                cd = dict(pos=np.asarray(p["points"], np.float32),
+                          curve_ends=np.asarray(p["curve_ends"], np.int64),
+                          width=np.asarray(
+                              p.get("width", 0.01), np.float32)
+                          * np.ones(len(p["points"]), np.float32))
+            entry["kind"] = pr.PRIM_MESH
+            entry["mesh"] = curves_to_tube_mesh(
+                cd["pos"], cd["curve_ends"], cd["width"],
+                taper=bool(p.get("curve_taper", False)),
+                width_scale=float(p.get("width_scale", 1.0)))
+            entry["smooth"] = True
         elif t == "instances":
             # Instance.cpp:60-90 — master prim(s) replicated per transform.
             # TPU-native: expand statically into the SoA (no indirection);
