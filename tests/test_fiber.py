@@ -124,3 +124,46 @@ def test_fiber_kinds_via_table():
     # lambert row unaffected by the fiber branch
     s = bs.sample_bsdf(table, jnp.int32(3), wi, u)
     assert bool(s["valid"]) and float(s["wo"][2]) > 0
+
+
+def test_oriented_frame_follows_strand_tangent():
+    """The shading bitangent must equal the strand tangent projected off
+    the normal (ADVICE r2: Duff ONB misorients fiber cones for strands not
+    axis-aligned)."""
+    from tungsten_tpu.utils.vecmath import oriented_frame
+    rngn = np.random.default_rng(7)
+    for _ in range(20):
+        n = rngn.normal(size=3)
+        n /= np.linalg.norm(n)
+        tg = rngn.normal(size=3)
+        tg /= np.linalg.norm(tg)
+        if abs(np.dot(n, tg)) > 0.95:
+            continue
+        t, b = oriented_frame(jnp.asarray(n, jnp.float32),
+                              jnp.asarray(tg, jnp.float32))
+        t, b = np.asarray(t), np.asarray(b)
+        # orthonormal right-handed frame with b || projected tangent
+        proj = tg - n * np.dot(n, tg)
+        proj /= np.linalg.norm(proj)
+        assert np.allclose(b, proj, atol=1e-5)
+        assert abs(np.dot(t, n)) < 1e-5 and abs(np.dot(t, b)) < 1e-5
+        assert np.allclose(np.cross(t, b), n, atol=1e-5)
+    # zero tangent falls back to the Duff ONB
+    n = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    t, b = oriented_frame(n, jnp.zeros(3, jnp.float32))
+    assert np.isfinite(np.asarray(t)).all()
+    assert abs(float(jnp.dot(t, n))) < 1e-6
+
+
+def test_hair_lobe_pdf_registration():
+    """pdf(phi) must integrate to ~1 with the RES-bin convention shared
+    with hair_lobe_sample (ADVICE r2 low: bin mis-registration)."""
+    h = fb.precompute_hair(jnp.asarray([0.2, 0.4, 0.6]), 0.3, n_quad=40)
+    cdf = jnp.asarray(h["cdf"])[0]          # R lobe
+    cos_td = jnp.float32(0.7)
+    M = 4096
+    phis = (np.arange(M) + 0.5) / M * 2.0 * np.pi
+    pdfs = fb.hair_lobe_pdf(cdf, jnp.asarray(phis, jnp.float32),
+                            jnp.full(M, cos_td))
+    integral = float(np.mean(np.asarray(pdfs)) * 2.0 * np.pi)
+    assert abs(integral - 1.0) < 1e-2, integral

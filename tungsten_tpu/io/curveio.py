@@ -94,7 +94,7 @@ def curves_to_tube_mesh(pos, curve_ends, width, n_sides=4, taper=False,
 
     Returns dict(pos [V,3], normal [V,3], tris [F,3]) with smooth ring
     normals (the tube analog of Curves.cpp's 'mode cylinder')."""
-    verts, norms, tris = [], [], []
+    verts, norms, tris, tans = [], [], [], []
     vbase = 0
     start = 0
     ring_phi = np.arange(n_sides) / n_sides * 2.0 * np.pi
@@ -122,6 +122,7 @@ def curves_to_tube_mesh(pos, curve_ends, width, n_sides=4, taper=False,
         ring_v = p[:, None, :] + ring_n * r[:, None, None]
         verts.append(ring_v.reshape(-1, 3))
         norms.append(ring_n.reshape(-1, 3))
+        tans.append(np.repeat(tan, n_sides, axis=0))
         idx = vbase + np.arange(S * n_sides).reshape(S, n_sides)
         a = idx[:-1]
         bb = np.roll(idx[:-1], -1, axis=1)
@@ -136,5 +137,6 @@ def curves_to_tube_mesh(pos, curve_ends, width, n_sides=4, taper=False,
     pos_all = np.concatenate(verts).astype(np.float32)
     return dict(pos=pos_all,
                 normal=np.concatenate(norms).astype(np.float32),
+                tangent=np.concatenate(tans).astype(np.float32),
                 tris=np.concatenate(tris).astype(np.int64),
                 uv=np.zeros((pos_all.shape[0], 2), np.float32))

@@ -267,7 +267,11 @@ def _row_lerp(arr, cos_td):
 def hair_lobe_pdf(cdf_l, phi, cos_td):
     """pdf(phi) of one azimuthal lobe via the row-lerped bin masses."""
     c = _row_lerp(cdf_l, cos_td)                       # [..., RES+1]
-    u = (_RES - 1) * phi / _TWO_PI
+    # RES bins of width 2pi/RES — the SAME convention hair_lobe_sample uses
+    # (phi = 2pi (x+frac)/RES), so pdf(phi) is registered to the sampled phi
+    # and integrates to 1.  (The reference's PrecomputedAzimuthalLobe::pdf
+    # indexes with (RES-1)/2pi, a ~RES/(RES-1) registration bias we fix.)
+    u = _RES * phi / _TWO_PI
     x0 = jnp.clip(u.astype(jnp.int32), 0, _RES - 1)
     mass = jnp.take_along_axis(c, x0[..., None] + 1, -1)[..., 0] \
         - jnp.take_along_axis(c, x0[..., None], -1)[..., 0]

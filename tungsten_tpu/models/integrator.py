@@ -42,7 +42,7 @@ from ..ops import sparse_conv as sc
 from ..utils import rng as trng
 from ..utils.pytree import static_field, struct
 from ..utils.vecmath import (dot, frame_to_local, frame_to_world, normalize,
-                             safe_normalize, tangent_frame)
+                             oriented_frame, safe_normalize, tangent_frame)
 from . import bsdfs as bs
 from . import envlight as ev
 from . import media as md
@@ -624,7 +624,10 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None,
             active = active & ~kill
             surf_event = surf_event & ~kill
 
-        tfr, bfr = jax.vmap(tangent_frame)(sh_normal)
+        # fiber-aware frame: the bitangent follows the strand tangent when
+        # the hit carries one (curve tubes / cylinders), so fiber BCSDFs see
+        # local +y = fiber direction (Curves.cpp tangentSpace convention)
+        tfr, bfr = jax.vmap(oriented_frame)(sh_normal, isect["tangent"])
         wi_local = jax.vmap(frame_to_local)(tfr, bfr, sh_normal, -rd)
 
         # emissive surface hit (handleSurface:592-595)

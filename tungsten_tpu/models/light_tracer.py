@@ -31,7 +31,7 @@ from . import phase as ph
 from . import primitives as pr
 from .integrator import (Scene, _EPS, _make_draw, shadow_walk)
 from ..utils.vecmath import (dot, frame_to_local, frame_to_world,
-                             safe_normalize, tangent_frame)
+                             safe_normalize, oriented_frame, tangent_frame)
 
 _INF = np.float32(3.0e38)
 
@@ -93,7 +93,16 @@ def trace_light(scene: Scene, n_paths, spp_idx):
                          jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))], -1)
     tg, bt = jax.vmap(tangent_frame)(n0)
     rd0 = jax.vmap(frame_to_world)(tg, bt, n0, local_d)
-    beta0 = le * (jnp.pi * nl / jnp.maximum(pdf_a, 1e-12))[:, None]
+    # point lights emit uniformly over the sphere (Point::sampleDirection,
+    # pdf 1/4pi) — NOT cosine about the dummy normal; power factor is 4pi
+    is_pt = scene.prims.kind[light] == pr.PRIM_POINT
+    z_sph = 1.0 - 2.0 * u1
+    r_sph = jnp.sqrt(jnp.maximum(1.0 - z_sph * z_sph, 0.0))
+    d_sph = jnp.stack([r_sph * jnp.cos(phi), r_sph * jnp.sin(phi),
+                       z_sph], -1)
+    rd0 = jnp.where(is_pt[:, None], d_sph, rd0)
+    beta0 = le * (jnp.where(is_pt, 4.0 * jnp.pi, jnp.pi) * nl
+                  / jnp.maximum(pdf_a, 1e-12))[:, None]
 
     film = jnp.zeros((cam.res_y * cam.res_x, 3), jnp.float32)
     med0 = jnp.full(R, scene.cam_medium, jnp.int32)
@@ -108,6 +117,7 @@ def trace_light(scene: Scene, n_paths, spp_idx):
     # only the position pdf (Le * area * nl).
     cme = cam.connect(p0)
     cos_e = jnp.maximum(jax.vmap(dot)(n0, cme["dir"]), 0.0)
+    cos_e = jnp.where(is_pt, 1.0, cos_e)  # isotropic point emitter
     film = _splat(film, cam, p0 + n0 * _EPS,
                   le * (nl / jnp.maximum(pdf_a, 1e-12) * cos_e)[:, None],
                   med0, state0, pss0, draw(b0, 5), scene,
@@ -159,7 +169,7 @@ def trace_light(scene: Scene, n_paths, spp_idx):
         sh_normal = jnp.where(backside[:, None], -g_normal, g_normal)
         hit_prim = isect["prim"]
         bsdf_idx = scene.prims.bsdf[hit_prim]
-        tfr, bfr = jax.vmap(tangent_frame)(sh_normal)
+        tfr, bfr = jax.vmap(oriented_frame)(sh_normal, isect["tangent"])
         wi_local = jax.vmap(frame_to_local)(tfr, bfr, sh_normal, -rd)
         p_vtx = jnp.where(vol_event[:, None], vol_p, hit_p)
 

@@ -40,6 +40,9 @@ class MeshSoA:
     n0: jnp.ndarray        # [T,3] shading normals per corner
     n1: jnp.ndarray
     n2: jnp.ndarray
+    t0: jnp.ndarray        # [T,3] strand/surface tangents per corner
+    t1: jnp.ndarray        # (zero when the mesh has no preferred tangent;
+    t2: jnp.ndarray        #  fiber BCSDF frames fall back to the Duff ONB)
     uv0: jnp.ndarray       # [T,2]
     uv1: jnp.ndarray
     uv2: jnp.ndarray
@@ -62,6 +65,7 @@ class MeshSoA:
 def empty_mesh() -> MeshSoA:
     z3, z2 = jnp.zeros((1, 3), jnp.float32), jnp.zeros((1, 2), jnp.float32)
     return MeshSoA(v0=z3, e1=z3, e2=z3, n0=z3, n1=z3, n2=z3,
+                   t0=z3, t1=z3, t2=z3,
                    uv0=z2, uv1=z2, uv2=z2, gn=z3,
                    prim=jnp.full((1,), -1, jnp.int32),
                    tri_cdf=jnp.ones((1,), jnp.float32),
@@ -128,6 +132,7 @@ def build_mesh_soa(meshes: list[dict]) -> MeshSoA:
         return empty_mesh()
     v0s, e1s, e2s, n0s, n1s, n2s = [], [], [], [], [], []
     uv0s, uv1s, uv2s, gns, prims, cdfs = [], [], [], [], [], []
+    t0s, t1s, t2s = [], [], []
     for m in meshes:
         pos = np.asarray(m["pos"], np.float32)
         tris = np.asarray(m["tris"], np.int64)
@@ -145,6 +150,14 @@ def build_mesh_soa(meshes: list[dict]) -> MeshSoA:
             n0, n1, n2 = nn[tris[:, 0]], nn[tris[:, 1]], nn[tris[:, 2]]
         else:
             n0 = n1 = n2 = gn
+        tgv = m.get("tangent")
+        if tgv is not None:
+            tg = np.asarray(tgv, np.float32)
+            t0s.append(tg[tris[:, 0]]); t1s.append(tg[tris[:, 1]])
+            t2s.append(tg[tris[:, 2]])
+        else:
+            z = np.zeros_like(a)
+            t0s.append(z); t1s.append(z); t2s.append(z)
         areas = 0.5 * area2
         cdf = np.cumsum(areas)
         cdf = cdf / max(cdf[-1], 1e-20)
@@ -179,6 +192,7 @@ def build_mesh_soa(meshes: list[dict]) -> MeshSoA:
     return MeshSoA(
         v0=cat(v0s), e1=cat(e1s), e2=cat(e2s),
         n0=cat(n0s), n1=cat(n1s), n2=cat(n2s),
+        t0=cat(t0s), t1=cat(t1s), t2=cat(t2s),
         uv0=cat(uv0s), uv1=cat(uv1s), uv2=cat(uv2s),
         gn=cat(gns), prim=cat(prims, fill=-1),
         tri_cdf=cat(cdfs, fill=2.0),
@@ -306,9 +320,13 @@ def mesh_intersect(mesh: MeshSoA, ro, rd, near, far):
     # shading normal to the geometric side (Embree-side convention in
     # TraceableScene intersection filling)
     sn = jnp.where(dot(sn[None, :], gn[None, :])[0] < 0.0, -sn, sn)
+    # interpolated preferred tangent (strand direction for fiber tubes);
+    # left unnormalized-zero when the mesh carries none
+    tg = w * mesh.t0[i] + u * mesh.t1[i] + v * mesh.t2[i]
     return dict(t=jnp.where(hit, t, far), tri=i,
                 prim=jnp.where(hit, mesh.prim[i], -1),
-                normal=sn, gnormal=gn, uv=uvi, back_side=back, hit=hit)
+                normal=sn, gnormal=gn, tangent=tg, uv=uvi, back_side=back,
+                hit=hit)
 
 
 # ---------------------------------------------------------------------------

@@ -56,17 +56,22 @@ def _mutate(u, key, ctr, p_large, s1=1.0 / 1024.0, s2=1.0 / 64.0):
     C, D = u.shape
     dims = jnp.arange(D, dtype=jnp.uint32)
 
+    # counter layout: purpose in the top nibble, (iteration, dim) below —
+    # disjoint streams per purpose, so no aliasing between the perturbation
+    # / sign / fresh / large-step decisions of different Metropolis steps
+    # (purpose 0 is reserved for the bootstrap's fresh stream)
+    def _ctr(purpose, sub):
+        return (jnp.uint32(purpose) << jnp.uint32(28)) | sub
+
     def per_chain(k, uc, cc):
-        r = trng.uniform(k, cc * jnp.uint32(D + 7) + dims)
-        sgn = trng.uniform(k, cc * jnp.uint32(D + 7) + dims
-                           + jnp.uint32(0x8000)) < 0.5
+        base = cc * jnp.uint32(D) + dims
+        r = trng.uniform(k, _ctr(1, base))
+        sgn = trng.uniform(k, _ctr(2, base)) < 0.5
         du = s2 * jnp.exp(-np.log(s2 / s1) * r)
         prop = uc + jnp.where(sgn, du, -du)
         prop = prop - jnp.floor(prop)
-        fresh = trng.uniform(k, cc * jnp.uint32(D + 7) + dims
-                             + jnp.uint32(0x4000))
-        big = trng.uniform(k, cc * jnp.uint32(D + 7)
-                           + jnp.uint32(0xC000)) < p_large
+        fresh = trng.uniform(k, _ctr(3, base))
+        big = trng.uniform(k, _ctr(4, cc)) < p_large
         return jnp.where(big, fresh, prop), big
 
     return jax.vmap(per_chain)(key, u, jnp.broadcast_to(ctr, (C,)))
@@ -87,9 +92,10 @@ def render_pass_mlt(scene: Scene, spp_idx, n_chains=4096, n_mutations=32,
                           scene.scene_seed ^ jnp.uint32(0x5EED11))
 
     def fresh(ctr):
+        # purpose-0 stream (see _mutate's counter layout)
         dims = jnp.arange(D, dtype=jnp.uint32)
         return jax.vmap(lambda k: trng.uniform(
-            k, ctr * jnp.uint32(D + 13) + dims))(key)
+            k, ctr * jnp.uint32(D) + dims))(key)
 
     # ---- bootstrap: luminance normalization b + chain seeding -------------
     # per-chain importance resampling proportional to luminance (the

@@ -35,7 +35,7 @@ from . import primitives as pr
 from .integrator import Scene, _EPS, _make_draw, _ray_key
 from .light_tracer import _light_key
 from ..utils.vecmath import (dot, frame_to_local, frame_to_world,
-                             tangent_frame)
+                             oriented_frame, tangent_frame)
 
 _INF = np.float32(3.0e38)
 
@@ -86,7 +86,16 @@ def trace_photons(scene: Scene, n_paths: int, spp_idx):
                          jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))], -1)
     tg, bt = jax.vmap(tangent_frame)(n0)
     rd0 = jax.vmap(frame_to_world)(tg, bt, n0, local_d)
-    beta0 = le * (jnp.pi * nl / jnp.maximum(pdf_a, 1e-12))[:, None]
+    # point lights emit uniformly over the sphere (Point::sampleDirection,
+    # pdf 1/4pi) — NOT cosine about the dummy normal; power factor is 4pi
+    is_pt = scene.prims.kind[light] == pr.PRIM_POINT
+    z_sph = 1.0 - 2.0 * u1
+    r_sph = jnp.sqrt(jnp.maximum(1.0 - z_sph * z_sph, 0.0))
+    d_sph = jnp.stack([r_sph * jnp.cos(phi), r_sph * jnp.sin(phi),
+                       z_sph], -1)
+    rd0 = jnp.where(is_pt[:, None], d_sph, rd0)
+    beta0 = le * (jnp.where(is_pt, 4.0 * jnp.pi, jnp.pi) * nl
+                  / jnp.maximum(pdf_a, 1e-12))[:, None]
 
     med0 = jnp.full(R, scene.cam_medium, jnp.int32)
     state0 = md.MediumState.make(R)
@@ -140,7 +149,7 @@ def trace_photons(scene: Scene, n_paths: int, spp_idx):
         sh_normal = jnp.where(backside[:, None], -g_normal, g_normal)
         hit_prim = isect["prim"]
         bsdf_idx = scene.prims.bsdf[hit_prim]
-        tfr, bfr = jax.vmap(tangent_frame)(sh_normal)
+        tfr, bfr = jax.vmap(oriented_frame)(sh_normal, isect["tangent"])
         wi_local = jax.vmap(frame_to_local)(tfr, bfr, sh_normal, -rd)
         p_vtx = jnp.where(vol_event[:, None], vol_p, hit_p)
 
@@ -405,7 +414,7 @@ def _eye_vertices(scene: Scene, spp_idx, max_spec=4):
                        | bs.is_null(scene.bsdfs, i))(bsdf_idx)
         diffuse_hit = surf_event & ~pure_spec & ~fwd
 
-        tfr, bfr = jax.vmap(tangent_frame)(sh_normal)
+        tfr, bfr = jax.vmap(oriented_frame)(sh_normal, isect["tangent"])
         wi_local = jax.vmap(frame_to_local)(tfr, bfr, sh_normal, -rd)
 
         newly = (diffuse_hit | vol_event) & ~(q["is_surf"] | q["is_vol"])

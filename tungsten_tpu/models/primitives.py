@@ -148,6 +148,13 @@ def build_soa(prims: list[dict]) -> PrimitiveSoA:
             if nrm is not None and nrm.size:
                 it = np.linalg.inv(lin).T
                 nrm = nrm @ it.T
+            # strand tangents transform as directions (linear part only)
+            tgv = md.get("tangent")
+            if tgv is not None:
+                tgw = np.asarray(tgv, np.float32) @ lin.T
+                tgw /= np.maximum(
+                    np.linalg.norm(tgw, axis=-1, keepdims=True), 1e-20)
+                md["tangent"] = tgw
             md.update(pos=mpos, normal=nrm, prim=i,
                       smooth=pr.get("smooth", True))
             meshes.append(md)
@@ -332,6 +339,10 @@ def intersect(soa: PrimitiveSoA, ro, rd, near, far):
     t = jnp.where((t > near) & (t < far), t, _INF)
     idx = jnp.argmin(t)
     t_min = t[idx]
+    # preferred shading tangent for analytic prims: the cylinder axis
+    # (world-space local +y = rot row 1), matching Cylinder::tangentSpace;
+    # zero elsewhere (fiber frames then fall back to the Duff ONB)
+    tg_prim = jnp.where(is_cy[:, None], soa.rot[:, 1, :], 0.0)
 
     if soa.mesh.has:
         mh = mesh_intersect(soa.mesh, ro, rd, near, far)
@@ -344,6 +355,7 @@ def intersect(soa: PrimitiveSoA, ro, rd, near, far):
             "prim": jnp.where(m_better, mh["prim"],
                               idx.astype(jnp.int32)),
             "normal": jnp.where(m_better, mh["normal"], nrm[idx]),
+            "tangent": jnp.where(m_better, mh["tangent"], tg_prim[idx]),
             "back_side": jnp.where(m_better, mh["back_side"], back[idx]),
         }
 
@@ -353,6 +365,7 @@ def intersect(soa: PrimitiveSoA, ro, rd, near, far):
         "t": jnp.where(hit, t_min, far),
         "prim": idx.astype(jnp.int32),
         "normal": nrm[idx],
+        "tangent": tg_prim[idx],
         "back_side": back[idx],
     }
 
@@ -414,6 +427,31 @@ def sample_direct(soa: PrimitiveSoA, li, p, u1, u2):
     dist = jnp.where(is_point, dist_c, dist)
     pdf = jnp.where(is_point, d2, pdf)
     valid = jnp.where(is_point, True, valid)
+
+    # cylinder: area-sample the side surface and convert to solid angle
+    # (Cylinder.cpp:185-201 — samplePosition + r^2/(cos*A)); consistent
+    # with sample_position's side-only area pdf
+    is_cyl = kind == PRIM_CYLINDER
+    hh_cy = soa.scale[li, 1]
+    r_cy = soa.radius[li]
+    phi_cy = u2 * 2.0 * jnp.pi
+    pcy_l = jnp.stack([r_cy * jnp.cos(phi_cy), (2.0 * u1 - 1.0) * hh_cy,
+                       r_cy * jnp.sin(phi_cy)])
+    ncy_l = jnp.stack([jnp.cos(phi_cy), 0.0 * phi_cy, jnp.sin(phi_cy)])
+    pcy = soa.p0[li] + jnp.einsum("ji,j->i", soa.rot[li], pcy_l,
+                                  precision="highest")
+    ncy = jnp.einsum("ji,j->i", soa.rot[li], ncy_l, precision="highest")
+    area_cy = jnp.maximum(2.0 * jnp.pi * r_cy * 2.0 * hh_cy, 1e-12)
+    dcy = pcy - p
+    r2_cy = jnp.maximum(dot(dcy, dcy), 1e-12)
+    dist_cy = jnp.sqrt(r2_cy)
+    dcy = dcy / dist_cy
+    cos_cy = -dot(ncy, dcy)
+    d = jnp.where(is_cyl, dcy, d)
+    dist = jnp.where(is_cyl, dist_cy, dist)
+    pdf = jnp.where(is_cyl,
+                    r2_cy / (jnp.maximum(cos_cy, 1e-6) * area_cy), pdf)
+    valid = jnp.where(is_cyl, cos_cy > 1e-6, valid)
 
     if soa.mesh.has:
         dm, distm, pdfm, vm = sample_direct_mesh(
@@ -519,6 +557,13 @@ def direct_pdf(soa: PrimitiveSoA, li, p, w, t_hit, n_hit=None):
     cos_theta_max = jnp.sqrt(jnp.maximum((d2 - r_eff**2) / d2, 1e-12))
     pdf_s = 1.0 / (2.0 * jnp.pi * jnp.maximum(1.0 - cos_theta_max, 1e-8))
     pdf = jnp.where(is_quad, pdf_q, pdf_s)
+    if n_hit is not None:
+        # cylinder (Cylinder.cpp:230-234): t^2 / (|cos(n_hit, w)| * A_side)
+        a_cy = jnp.maximum(2.0 * jnp.pi * soa.radius[li]
+                           * 2.0 * soa.scale[li, 1], 1e-12)
+        pdf_cy = t_hit * t_hit / (jnp.maximum(jnp.abs(dot(n_hit, w)), 1e-6)
+                                  * a_cy)
+        pdf = jnp.where(kind == PRIM_CYLINDER, pdf_cy, pdf)
     if soa.mesh.has and n_hit is not None:
         pdf = jnp.where(kind == PRIM_MESH,
                         direct_pdf_mesh(soa.area[li], n_hit, w, t_hit), pdf)

@@ -66,6 +66,23 @@ def tangent_frame(n):
     return t, bt
 
 
+def oriented_frame(n, tg):
+    """Tangent frame whose BITANGENT follows a preferred direction `tg`
+    (e.g. a fiber/strand tangent): b = normalize(tg projected off n),
+    t = cross(b, n).  Falls back to the Duff ONB where |tg| ~ 0 or tg is
+    (near-)parallel to n.  Matches the reference's curve shading frame
+    (Curves.cpp tangentSpace: B = curve tangent) so fiber BCSDFs, whose
+    local +y must be the strand direction, are oriented correctly."""
+    t0, b0 = tangent_frame(n)
+    proj = tg - n * dot(n, tg)[..., None]
+    len2 = dot(proj, proj)
+    ok = len2 > 1e-12
+    b = jnp.where(ok[..., None],
+                  proj / jnp.sqrt(jnp.maximum(len2, 1e-12))[..., None], b0)
+    t = jnp.where(ok[..., None], jnp.cross(b, n), t0)
+    return t, b
+
+
 def frame_to_local(t, b, n, v):
     """World vector -> (tangent, bitangent, normal) coordinates."""
     return jnp.stack([dot(t, v), dot(b, v), dot(n, v)], axis=-1)
