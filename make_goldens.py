@@ -13,9 +13,9 @@ import subprocess
 import sys
 
 REF = "/tmp/refbuild/build/tungsten"
-SCENES = ["gpis-sphere-box", "gpis-mirror-1d", "gpis-weight-space",
-          "gpis-function-space", "gpis-ensemble"]
-SPP = int(os.environ.get("GOLDEN_SPP", "64"))
+SCENES = ["gpis-sphere-box", "gpis-mirror-1d", "gpis-mirror-1d-corrxy",
+          "gpis-weight-space", "gpis-function-space", "gpis-ensemble"]
+SPP = int(os.environ.get("GOLDEN_SPP", "256"))
 RES = int(os.environ.get("GOLDEN_RES", "64"))
 
 

@@ -9,9 +9,18 @@ at trace time, and all per-ray constants (seeds, space transforms, variance
 normalization, conditioning-splat coefficients) are hoisted out of the march
 step.  Numerically identical to the reference path (tests cross-check).
 
-Covers: 3D sampling in world / isotropic / isotropic-ray space, stationary
-covariance, with Renewal/Renewal+ conditioning splats.  1D sampling and
-multi-resolution noise fall back to the general evaluator.
+Covers 3D sampling in world / isotropic / isotropic-ray space with
+Renewal/Renewal+/Global conditioning splats, for
+  - stationary covariances (SquaredExponential family quadratic-form splats),
+  - the Paciorek procedural/grid nonstationary wrapper in both brute-force
+    (GPFunctions.cpp:1219-1332 — per-point lateral scale folded into the
+    splat quadratic form) and multi-resolution grid mode
+    (SparseConvolutionNoise.cpp:60-123 — two per-point levels of the
+    lattice sum blended by kernelScaleLevelRatio).
+The per-level lattice sums run through one generalized evaluator with
+per-lane cell radius `kr`, per-lane quadratic-form scale `qm`, and per-lane
+seeds; only 1D sampling and anisotropic (mean-grad) nonstationarity fall
+back to the general evaluator.
 """
 from __future__ import annotations
 
@@ -27,7 +36,12 @@ _U1 = np.uint32(1)
 
 
 def supports(cfg, gp):
-    return (not cfg.one_d) and (not cfg.multi_res(gp)) and gp.cov.is_stationary
+    if cfg.one_d:
+        return False
+    if gp.cov.is_stationary:
+        return True
+    from .nonstationary import ProceduralNonstationaryCov
+    return isinstance(gp.cov, ProceduralNonstationaryCov)
 
 
 def _quadform_coeffs(m):
@@ -52,31 +66,72 @@ def _use_pallas():
     return jax.default_backend() != "cpu"
 
 
+def _lattice_sum_xla(px, py, pz, seed, kr, qm, m6, K):
+    """Unrolled-XLA twin of the Mosaic kernel: 27-cell x K impulse sum with
+    per-lane cell radius `kr` and quadratic-form scale `qm` (all [R])."""
+    inv_r = 1.0 / kr
+    gx, gy, gz = px * inv_r, py * inv_r, pz * inv_r
+    bx, by, bz = jnp.floor(gx), jnp.floor(gy), jnp.floor(gz)
+    fx, fy, fz = gx - bx, gy - by, gz - bz
+    ix = bx.astype(jnp.int32).astype(jnp.uint32)
+    iy = by.astype(jnp.int32).astype(jnp.uint32)
+    iz = bz.astype(jnp.int32).astype(jnp.uint32)
+    total = jnp.zeros_like(px)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                cx = ix + np.uint32(dx & 0xFFFFFFFF)
+                cy = iy + np.uint32(dy & 0xFFFFFFFF)
+                cz = iz + np.uint32(dz & 0xFFFFFFFF)
+                # cell3D seeding order (SparseConvolutionNoise.cpp:376)
+                h = rng.xxhash32_4(cz, cy, cx, seed) + _U1
+                qx = fx - np.float32(dx)
+                qy = fy - np.float32(dy)
+                qz = fz - np.float32(dz)
+                for k in range(K):
+                    ux = rng.uniform(h, np.uint32(4 * k))
+                    uy = rng.uniform(h, np.uint32(4 * k + 1))
+                    uz = rng.uniform(h, np.uint32(4 * k + 2))
+                    uw = rng.uniform(h, np.uint32(4 * k + 3))
+                    ddx = qx - ux
+                    ddy = qy - uy
+                    ddz = qz - uz
+                    r2 = ddx * ddx + ddy * ddy + ddz * ddz
+                    q = qm * _quad(m6, kr * ddx, kr * ddy, kr * ddz)
+                    w = jnp.where(uw < 0.5, -1.0, 1.0)
+                    total = total + jnp.where(r2 < 1.0,
+                                              w * jnp.exp(-q), 0.0)
+    return total
+
+
 def make_value_at(cfg, gp, coeff3, ro, rd, pss, scene_seed):
     """Build value_at(t[R]) -> (f[R], gp_id[R]) for rays ro + t*rd.
 
     Precomputes per-ray sampling-space ray parametrization so each march step
     is pure [R]-vector arithmetic (evaluateValue / evaluateNoise3D*,
-    SparseConvolutionNoise.cpp:73-89, 251-320 — same math, SoA layout)."""
+    SparseConvolutionNoise.cpp:73-89, 251-320 — same math, SoA layout).
+    Multi-res / nonstationary configs add per-lane level scales
+    (SparseConvolutionNoise.cpp:60-123, GPFunctions.cpp:1219-1332)."""
     cov = gp.cov
     R = ro.shape[0]
-    seed = sc.compute_seed(cfg, pss, scene_seed)  # [R]
-    amp = cov.amplitude(ro)  # [R] (stationary: constant)
+    seed0 = sc.compute_seed(cfg, pss, scene_seed)  # [R]
+    stationary = cov.is_stationary
+    multi_res = cfg.multi_res(gp)
+    base = cov if stationary else cov.base
+    # brute-force nonstationary folds max lateral scale into the transforms
+    max_ls = np.float32(1.0 if (stationary or multi_res) else cov.max_ls)
 
     if not cfg.isotropic_3d:
-        # world space: sampling space == world, anisotropic splat
-        kernel_r = cov.splat_radius(False, 1.0)
+        # world space: sampling space == world, anisotropic splat quadratic
+        # form at unit scale; level/lateral scales enter via kr and qm
         ro_s, rd_s = ro, rd
-        m_noise = _quadform_coeffs(
-            cov._inv_cov_mtx(False, False, 1.0, ro))
-        m_cond = _quadform_coeffs(cov._inv_cov_mtx(True, False, 1.0, ro))
-        norm = jnp.sqrt(cov.variance3(ro, cfg.impulse_density, kernel_r,
-                                      False, 1.0))
+        m_noise = _quadform_coeffs(base._inv_cov_mtx(False, False, 1.0, ro))
+        m_cond = _quadform_coeffs(base._inv_cov_mtx(True, False, 1.0, ro))
+        identity = False
     else:
-        kernel_r = cov.splat_radius(True, 1.0)
         w2l = cov.world_to_local
-        ro_s = ro @ w2l.T
-        rd_s = rd @ w2l.T
+        ro_s = ro @ w2l.T / max_ls
+        rd_s = rd @ w2l.T / max_ls
         if cfg.isotropic_ray_3d:
             rdi = normalize(rd_s)
             tg, bt = tangent_frame(rdi)
@@ -87,19 +142,16 @@ def make_value_at(cfg, gp, coeff3, ro, rd, pss, scene_seed):
                              axis=-1)
         m_noise = (0.5, 0.5, 0.5, 0.0, 0.0, 0.0)
         m_cond = (0.25, 0.25, 0.25, 0.0, 0.0, 0.0)
-        norm = jnp.sqrt(cov.variance3(ro, cfg.impulse_density, kernel_r,
-                                      True, 1.0))
+        identity = True
 
-    inv_norm = 1.0 / norm
-
-    # conditioning-splat constants in sampling space
+    # conditioning-splat constants in (unit-scale) sampling space
     use_cond = cfg.activate_conditioning
     if use_cond:
         if not cfg.isotropic_3d:
             o_s = coeff3.ray_origin
             g_s = coeff3.gradient_scale
         else:
-            o_s = coeff3.ray_origin @ cov.world_to_local.T
+            o_s = coeff3.ray_origin @ cov.world_to_local.T / max_ls
             g_s = coeff3.gradient_scale
             if cfg.isotropic_ray_3d:
                 o_s = jnp.stack([dot(o_s, tg), dot(o_s, bt), dot(o_s, rdi)],
@@ -112,101 +164,119 @@ def make_value_at(cfg, gp, coeff3, ro, rd, pss, scene_seed):
     rdx, rdy, rdz = rd_s[:, 0], rd_s[:, 1], rd_s[:, 2]
     rwx, rwy, rwz = ro[:, 0], ro[:, 1], ro[:, 2]
     dwx, dwy, dwz = rd[:, 0], rd[:, 1], rd[:, 2]
-    inv_r = 1.0 / kernel_r
     K = cfg.impulse_count
     use_pallas = _use_pallas()
+    ones = jnp.ones(R, jnp.float32)
+    dens = np.float32(cfg.impulse_density)
+    log_base = np.float32(np.log(cfg.base))
 
-    def _lattice_sum_pallas(px, py, pz):
-        """Fused Mosaic kernel for the 27xK impulse sum."""
+    if identity:
+        kr_unit = jnp.broadcast_to(
+            jnp.asarray(base.splat_radius(True, 1.0), jnp.float32), (R,))
+    else:
+        # base radius at unit level scale; level radius = kr_unit * s
+        kr_unit = jnp.broadcast_to(
+            jnp.asarray(base.splat_radius(False, 1.0), jnp.float32), (R,))
+
+    def _lattice(px, py, pz, seed, kr, qm):
+        if not use_pallas:
+            return _lattice_sum_xla(px, py, pz, seed, kr, qm, m_noise, K)
         import jax as _jax
         from . import sparse_conv_pallas as scp
         shape = px.shape
         p_flat = jnp.stack([px.reshape(-1), py.reshape(-1),
                             pz.reshape(-1)], axis=-1)
-        seed_flat = jnp.broadcast_to(seed, shape).reshape(-1)
         m6 = jnp.stack([jnp.asarray(m, jnp.float32) for m in m_noise])
-        total = scp.noise3d_sum(p_flat, seed_flat,
-                                jnp.asarray(kernel_r, jnp.float32), m6,
-                                impulse_count=K,
-                                interpret=_jax.default_backend() == "cpu")
+        total = scp.noise3d_sum(
+            p_flat, jnp.broadcast_to(seed, shape).reshape(-1),
+            jnp.broadcast_to(kr, shape).reshape(-1), m6,
+            qm=jnp.broadcast_to(qm, shape).reshape(-1),
+            impulse_count=K,
+            interpret=_jax.default_backend() == "cpu")
         return total.reshape(shape)
 
+    def _level_value(px, py, pz, pw, seed_l, pos_scale, kr, qm, gs_var):
+        """One level of the normalized lattice sum + conditioning splat.
+
+        pos_scale scales sampling-space positions (iso levels); kr/qm are
+        the per-lane radius and quadratic-form scale; gs_var is the
+        global_scale argument of variance3."""
+        sx, sy, sz = px * pos_scale, py * pos_scale, pz * pos_scale
+        total = _lattice(sx, sy, sz, seed_l, kr, qm)
+        norm = jnp.sqrt(cov.variance3(pw, dens, kr, identity, gs_var))
+        val = total / norm
+        if use_cond:
+            ddx = sx - osx * pos_scale
+            ddy = sy - osy * pos_scale
+            ddz = sz - osz * pos_scale
+            q0 = qm * _quad(m_cond, ddx, ddy, ddz)
+            f0 = jnp.exp(-q0)
+            xx, yy, zz, xy, xz, yz = m_cond
+            d0x = -2.0 * qm * (xx * ddx + xy * ddy + xz * ddz)
+            d0y = -2.0 * qm * (xy * ddx + yy * ddy + yz * ddz)
+            d0z = -2.0 * qm * (xz * ddx + yz * ddy + zz * ddz)
+            val = val + (vsc + d0x * gsx + d0y * gsy + d0z * gsz) * f0
+        return val
+
     def value_at(t):
-        # sampling-space position, [R] per component
+        # sampling-space position (unit level scale), [R] per component
         px = rox + t * rdx
         py = roy + t * rdy
         pz = roz + t * rdz
+        pw = jnp.stack([rwx + t * dwx, rwy + t * dwy, rwz + t * dwz],
+                       axis=-1)
 
-        gx, gy, gz = px * inv_r, py * inv_r, pz * inv_r
-        bx, by, bz = jnp.floor(gx), jnp.floor(gy), jnp.floor(gz)
-        fx, fy, fz = gx - bx, gy - by, gz - bz
-        ix = bx.astype(jnp.int32).astype(jnp.uint32)
-        iy = by.astype(jnp.int32).astype(jnp.uint32)
-        iz = bz.astype(jnp.int32).astype(jnp.uint32)
+        if stationary:
+            val = _level_value(px, py, pz, pw, seed0, 1.0, kr_unit, ones,
+                               jnp.float32(1.0))
+            amp = cov.amplitude(pw)
+        elif not multi_res:
+            # brute-force nonstationary (GPFunctions.cpp:1219-1332): the
+            # per-point lateral scale divides the splat quadratic form.
+            # World space folds max_ls into the spatial scale, which offsets
+            # the seed by its level (evaluateNoise3DNormalized:252); the iso
+            # variants evaluate at unit spatial scale (offset 0)
+            lvl = np.uint32(0) if identity else np.uint32(
+                int(np.floor(np.log(max(float(max_ls), 1e-30)) /
+                             float(log_base))) & 0xFFFFFFFF)
+            ls_local = cov.nonstat_splat_kernel_scale(pw)
+            inv_ls2 = 1.0 / jnp.maximum(ls_local * ls_local, 1e-12)
+            qm = (inv_ls2 / (max_ls * max_ls)) if not identity else inv_ls2
+            kr = kr_unit if identity else kr_unit * max_ls
+            val = _level_value(px, py, pz, pw, seed0 + lvl, 1.0, kr, qm,
+                               jnp.float32(max_ls))
+            amp = cov.amplitude(pw)
+        else:
+            # multi-res blend (SparseConvolutionNoise.cpp:60-123): two
+            # per-point levels of the lattice sum, seeds offset by level
+            ls = cov.lateral_scale(pw)
+            lvl_lo = jnp.floor(jnp.log(ls) / log_base)
+            s_lo = cfg.base ** lvl_lo
+            s_hi = cfg.base ** (lvl_lo + 1.0)
+            frac = (ls - s_lo) / (s_hi - s_lo)
+            denom = jnp.sqrt(1.0 - 2.0 * frac + 2.0 * frac * frac)
+            r_lo = (1.0 - frac) / denom
+            r_hi = frac / denom
+            lvl_i = lvl_lo.astype(jnp.int32).astype(jnp.uint32)
+            vals = []
+            for s, lvl_u in ((s_lo, lvl_i), (s_hi, lvl_i + _U1)):
+                if identity:
+                    vals.append(_level_value(
+                        px, py, pz, pw, seed0 + lvl_u, 1.0 / s, kr_unit,
+                        ones, jnp.float32(1.0)))
+                else:
+                    vals.append(_level_value(
+                        px, py, pz, pw, seed0 + lvl_u, 1.0, kr_unit * s,
+                        1.0 / (s * s), s))
+            val = r_lo * vals[0] + r_hi * vals[1]
+            amp = cov.amplitude(pw)
 
-        if use_pallas:
-            total = _lattice_sum_pallas(px, py, pz)
-            val = total * inv_norm
-            if use_cond:
-                ddx = px - osx
-                ddy = py - osy
-                ddz = pz - osz
-                q0 = _quad(m_cond, ddx, ddy, ddz)
-                f0 = jnp.exp(-q0)
-                xx, yy, zz, xy, xz, yz = m_cond
-                d0x = -2.0 * (xx * ddx + xy * ddy + xz * ddz)
-                d0y = -2.0 * (xy * ddx + yy * ddy + yz * ddz)
-                d0z = -2.0 * (xz * ddx + yz * ddy + zz * ddz)
-                val = val + (vsc + d0x * gsx + d0y * gsy + d0z * gsz) * f0
-            pw = jnp.stack([rwx + t * dwx, rwy + t * dwy, rwz + t * dwz],
-                           axis=-1)
-            m, gp_id = gp.mean_and_id(pw)
-            return amp * val + m, gp_id
-
-        total = jnp.zeros(R, jnp.float32)
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
-                    cx = ix + np.uint32(dx & 0xFFFFFFFF)
-                    cy = iy + np.uint32(dy & 0xFFFFFFFF)
-                    cz = iz + np.uint32(dz & 0xFFFFFFFF)
-                    # cell3D seeding order (SparseConvolutionNoise.cpp:376)
-                    h = rng.xxhash32_4(cz, cy, cx, seed) + _U1
-                    qx = fx - np.float32(dx)
-                    qy = fy - np.float32(dy)
-                    qz = fz - np.float32(dz)
-                    for k in range(K):
-                        ux = rng.uniform(h, np.uint32(4 * k))
-                        uy = rng.uniform(h, np.uint32(4 * k + 1))
-                        uz = rng.uniform(h, np.uint32(4 * k + 2))
-                        uw = rng.uniform(h, np.uint32(4 * k + 3))
-                        ddx = qx - ux
-                        ddy = qy - uy
-                        ddz = qz - uz
-                        r2 = ddx * ddx + ddy * ddy + ddz * ddz
-                        q = _quad(m_noise, kernel_r * ddx, kernel_r * ddy,
-                                  kernel_r * ddz)
-                        w = jnp.where(uw < 0.5, -1.0, 1.0)
-                        total = total + jnp.where(r2 < 1.0,
-                                                  w * jnp.exp(-q), 0.0)
-        val = total * inv_norm
-
-        if use_cond:
-            ddx = px - osx
-            ddy = py - osy
-            ddz = pz - osz
-            q0 = _quad(m_cond, ddx, ddy, ddz)
-            f0 = jnp.exp(-q0)
-            # d = -2 Mc dd;  val += (vs + d . gs) * f0
-            xx, yy, zz, xy, xz, yz = m_cond
-            d0x = -2.0 * (xx * ddx + xy * ddy + xz * ddz)
-            d0y = -2.0 * (xy * ddx + yy * ddy + yz * ddz)
-            d0z = -2.0 * (xz * ddx + yz * ddy + zz * ddz)
-            val = val + (vsc + d0x * gsx + d0y * gsy + d0z * gsz) * f0
-
-        # mean + id (mean_weight_space min, GaussianProcess.cpp:379-393)
-        pw = jnp.stack([rwx + t * dwx, rwy + t * dwy, rwz + t * dwz], axis=-1)
         m, gp_id = gp.mean_and_id(pw)
+        if cfg.surf_vol_phase_separate:
+            # evaluateValue:85-88 — id = variance-thresholded phase switch
+            gp_id = jnp.where(
+                cov.unscaled_variance(pw) < cfg.surf_vol_phase_amp_thresh,
+                0, 1)
         return amp * val + m, gp_id
 
     return value_at

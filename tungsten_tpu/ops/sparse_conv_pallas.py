@@ -9,6 +9,13 @@ every march/bisection/IFT instantiation — collapsing the XLA graph that
 otherwise repeats a ~3k-op subgraph ~10x per bounce — and (b) keeps every
 intermediate in VMEM registers with rays on lanes.
 
+The kernel is generalized over per-lane cell radius `kr` and per-lane
+quadratic-form scale `qm`, which lets ONE kernel serve stationary
+covariances (kr, qm constant), the Paciorek nonstationary wrapper
+(qm = 1/lateralScale(p)^2, GPFunctions.cpp:1219-1332), and each level of
+multi-resolution noise (kr, qm per-point level scales,
+SparseConvolutionNoise.cpp:60-123).
+
 Scope: the raw noise lattice sum only.  Mean, amplitude, variance
 normalization and conditioning splats stay in XLA where they are cheap and
 differentiable.
@@ -16,7 +23,7 @@ differentiable.
 Differentiability: `noise3d_sum` carries a custom VJP.  The forward pass is
 the Mosaic kernel; the backward pass evaluates the analytic derivatives of
 the same lattice sum (w.r.t. the query points, the splat quadratic form m6,
-and the cell radius) through an XLA re-trace of the identical math — the
+the cell radius and qm) through an XLA re-trace of the identical math — the
 manual splat derivatives the reference keeps at GPFunctions.cpp:804-865.
 The bulk of the march is detached (models/media.py), so the backward runs
 only for the few differentiable evaluations (IFT reattachment, conditioning).
@@ -73,32 +80,25 @@ def _u01(u):
             * np.float32(1.0 / (1 << 24)))
 
 
-def _noise_kernel(impulse_count, params_ref, px_ref, py_ref, pz_ref,
-                  seed_ref, out_ref):
-    """params (SMEM, (1, 8)): [kernel_r, m00, m11, m22, m01, m02, m12, _]."""
-    kr = params_ref[0, 0]
-    m00 = params_ref[0, 1]
-    m11 = params_ref[0, 2]
-    m22 = params_ref[0, 3]
-    m01 = params_ref[0, 4]
-    m02 = params_ref[0, 5]
-    m12 = params_ref[0, 6]
+def _lattice_sum(px, py, pz, seed, kr, qm, m6_tuple, impulse_count):
+    """The 27-cell x K impulse sum, shared verbatim by the Mosaic kernel and
+    the XLA backward re-trace (cell3D, SparseConvolutionNoise.cpp:362-395).
 
+    All of px/py/pz/seed/kr/qm are same-shaped arrays; m6_tuple holds the 6
+    unique entries of the unit-scale splat quadratic form."""
+    m00, m11, m22, m01, m02, m12 = m6_tuple
     inv_r = 1.0 / kr
-    px = px_ref[:] * inv_r
-    py = py_ref[:] * inv_r
-    pz = pz_ref[:] * inv_r
-    seed = seed_ref[:]
-
-    bx = jnp.floor(px)
-    by = jnp.floor(py)
-    bz = jnp.floor(pz)
-    fx, fy, fz = px - bx, py - by, pz - bz
+    gx = px * inv_r
+    gy = py * inv_r
+    gz = pz * inv_r
+    bx = jnp.floor(gx)
+    by = jnp.floor(gy)
+    bz = jnp.floor(gz)
+    fx, fy, fz = gx - bx, gy - by, gz - bz
     ix = bx.astype(jnp.int32).astype(jnp.uint32)
     iy = by.astype(jnp.int32).astype(jnp.uint32)
     iz = bz.astype(jnp.int32).astype(jnp.uint32)
 
-    kr2 = kr * kr
     total = jnp.zeros_like(px)
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
@@ -122,119 +122,105 @@ def _noise_kernel(impulse_count, params_ref, px_ref, py_ref, pz_ref,
                     abx = kr * ddx
                     aby = kr * ddy
                     abz = kr * ddz
-                    q = (m00 * abx * abx + m11 * aby * aby + m22 * abz * abz
-                         + 2.0 * (m01 * abx * aby + m02 * abx * abz
-                                  + m12 * aby * abz))
-                    w = jnp.where(uw < 0.5, -1.0, 1.0)
-                    total = total + jnp.where(r2 < 1.0, w * jnp.exp(-q), 0.0)
-    out_ref[:] = total
-
-
-def _ref_sum(p_space, seed, kernel_r, m6, impulse_count):
-    """XLA re-trace of the kernel's lattice sum — identical math/hashes; used
-    only for the backward pass (jax.vjp) of the custom VJP below."""
-    inv_r = 1.0 / kernel_r
-    px = p_space[:, 0] * inv_r
-    py = p_space[:, 1] * inv_r
-    pz = p_space[:, 2] * inv_r
-    bx, by, bz = jnp.floor(px), jnp.floor(py), jnp.floor(pz)
-    fx, fy, fz = px - bx, py - by, pz - bz
-    ix = bx.astype(jnp.int32).astype(jnp.uint32)
-    iy = by.astype(jnp.int32).astype(jnp.uint32)
-    iz = bz.astype(jnp.int32).astype(jnp.uint32)
-    m00, m11, m22, m01, m02, m12 = (m6[0], m6[1], m6[2], m6[3], m6[4], m6[5])
-    total = jnp.zeros(p_space.shape[0], jnp.float32)
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                cx = ix + np.uint32(dx & 0xFFFFFFFF)
-                cy = iy + np.uint32(dy & 0xFFFFFFFF)
-                cz = iz + np.uint32(dz & 0xFFFFFFFF)
-                h = _xxhash32_4(cz, cy, cx, seed) + np.uint32(1)
-                qx = fx - np.float32(dx)
-                qy = fy - np.float32(dy)
-                qz = fz - np.float32(dz)
-                for k in range(impulse_count):
-                    ux = _u01(_xxhash32_2(h, np.uint32(4 * k)))
-                    uy = _u01(_xxhash32_2(h, np.uint32(4 * k + 1)))
-                    uz = _u01(_xxhash32_2(h, np.uint32(4 * k + 2)))
-                    uw = _u01(_xxhash32_2(h, np.uint32(4 * k + 3)))
-                    ddx, ddy, ddz = qx - ux, qy - uy, qz - uz
-                    r2 = ddx * ddx + ddy * ddy + ddz * ddz
-                    abx = kernel_r * ddx
-                    aby = kernel_r * ddy
-                    abz = kernel_r * ddz
-                    q = (m00 * abx * abx + m11 * aby * aby + m22 * abz * abz
-                         + 2.0 * (m01 * abx * aby + m02 * abx * abz
-                                  + m12 * aby * abz))
+                    q = qm * (m00 * abx * abx + m11 * aby * aby
+                              + m22 * abz * abz
+                              + 2.0 * (m01 * abx * aby + m02 * abx * abz
+                                       + m12 * aby * abz))
                     w = jnp.where(uw < 0.5, -1.0, 1.0)
                     total = total + jnp.where(r2 < 1.0, w * jnp.exp(-q), 0.0)
     return total
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _noise3d_sum(p_space, seed, kernel_r, m6, impulse_count, interpret):
-    return _noise3d_sum_fwd(p_space, seed, kernel_r, m6, impulse_count,
+def _noise_kernel(impulse_count, params_ref, px_ref, py_ref, pz_ref,
+                  seed_ref, kr_ref, qm_ref, out_ref):
+    """params (SMEM, (1, 8)): [m00, m11, m22, m01, m02, m12, _, _]."""
+    m6 = tuple(params_ref[0, i] for i in range(6))
+    out_ref[:] = _lattice_sum(px_ref[:], py_ref[:], pz_ref[:], seed_ref[:],
+                              kr_ref[:], qm_ref[:], m6, impulse_count)
+
+
+def _ref_sum(p_space, seed, kernel_r, qm, m6, impulse_count):
+    """XLA re-trace of the kernel's lattice sum — identical math/hashes; used
+    only for the backward pass (jax.vjp) of the custom VJP below."""
+    m6_tuple = (m6[0], m6[1], m6[2], m6[3], m6[4], m6[5])
+    return _lattice_sum(p_space[:, 0], p_space[:, 1], p_space[:, 2], seed,
+                        kernel_r, qm, m6_tuple, impulse_count)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _noise3d_sum(p_space, seed, kernel_r, qm, m6, impulse_count, interpret):
+    return _noise3d_sum_fwd(p_space, seed, kernel_r, qm, m6, impulse_count,
                             interpret)[0]
 
 
-def _noise3d_sum_fwd(p_space, seed, kernel_r, m6, impulse_count, interpret):
-    out = _noise3d_sum_pallas(p_space, seed, kernel_r, m6,
+def _noise3d_sum_fwd(p_space, seed, kernel_r, qm, m6, impulse_count,
+                     interpret):
+    out = _noise3d_sum_pallas(p_space, seed, kernel_r, qm, m6,
                               impulse_count=impulse_count,
                               interpret=interpret)
-    return out, (p_space, seed, kernel_r, m6)
+    return out, (p_space, seed, kernel_r, qm, m6)
 
 
 def _noise3d_sum_bwd(impulse_count, interpret, res, g):
-    p_space, seed, kernel_r, m6 = res
+    p_space, seed, kernel_r, qm, m6 = res
     _, vjp = jax.vjp(
-        lambda p, kr, m: _ref_sum(p, seed, kr, m, impulse_count),
-        p_space, kernel_r, m6)
-    dp, dkr, dm6 = vjp(g)
+        lambda p, kr, q, m: _ref_sum(p, seed, kr, q, m, impulse_count),
+        p_space, kernel_r, qm, m6)
+    dp, dkr, dqm, dm6 = vjp(g)
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
-    return dp, dseed, dkr, dm6
+    return dp, dseed, dkr, dqm, dm6
 
 
 _noise3d_sum.defvjp(_noise3d_sum_fwd, _noise3d_sum_bwd)
 
 
-def noise3d_sum(p_space, seed, kernel_r, m6, impulse_count=3,
+def noise3d_sum(p_space, seed, kernel_r, m6, qm=None, impulse_count=3,
                 interpret=False):
     """Raw 27-cell impulse sum at p_space [N,3] with per-ray seeds [N].
 
-    kernel_r: cell radius (traced scalar); m6: the 6 unique entries of the
-    splat quadratic form (xx, yy, zz, xy, xz, yz).  Returns [N] f32.
-    Differentiable w.r.t. p_space / kernel_r / m6 (custom VJP; XLA backward).
-    """
+    kernel_r: cell radius, scalar or per-lane [N]; m6: the 6 unique entries
+    of the unit-scale splat quadratic form (xx, yy, zz, xy, xz, yz); qm:
+    optional per-lane scale on the quadratic form (nonstationary lateral
+    scale / multi-res level).  Returns [N] f32.  Differentiable w.r.t.
+    p_space / kernel_r / qm / m6 (custom VJP; XLA backward)."""
+    n = p_space.shape[0]
+    kr = jnp.broadcast_to(jnp.asarray(kernel_r, jnp.float32), (n,))
+    qmv = (jnp.ones(n, jnp.float32) if qm is None
+           else jnp.broadcast_to(jnp.asarray(qm, jnp.float32), (n,)))
     return _noise3d_sum(jnp.asarray(p_space, jnp.float32),
                         jnp.asarray(seed, jnp.uint32),
-                        jnp.asarray(kernel_r, jnp.float32),
-                        jnp.asarray(m6, jnp.float32),
+                        kr, qmv, jnp.asarray(m6, jnp.float32),
                         int(impulse_count), bool(interpret))
 
 
 @functools.partial(jax.jit, static_argnames=("impulse_count", "interpret"))
-def _noise3d_sum_pallas(p_space, seed, kernel_r, m6, impulse_count=3,
+def _noise3d_sum_pallas(p_space, seed, kernel_r, qm, m6, impulse_count=3,
                         interpret=False):
     n = p_space.shape[0]
     n_pad = -(-n // BLK) * BLK
     pad = n_pad - n
 
     def prep(x, dtype):
-        x = jnp.pad(x.astype(dtype), (0, pad))
+        x = jnp.pad(x.astype(dtype), (0, pad),
+                    constant_values=1 if dtype == jnp.float32 else 0)
         return x.reshape(n_pad // LANES, LANES)
 
     px = prep(p_space[:, 0], jnp.float32)
     py = prep(p_space[:, 1], jnp.float32)
     pz = prep(p_space[:, 2], jnp.float32)
     sd = prep(seed, jnp.uint32)
+    kr = prep(kernel_r, jnp.float32)  # pad with 1 to avoid 1/0 on pad lanes
+    qmv = prep(qm, jnp.float32)
 
-    params = jnp.stack([kernel_r, m6[0], m6[1], m6[2], m6[3], m6[4], m6[5],
+    params = jnp.stack([m6[0], m6[1], m6[2], m6[3], m6[4], m6[5],
+                        jnp.float32(0.0),
                         jnp.float32(0.0)]).reshape(1, 8).astype(jnp.float32)
 
     grid = (n_pad // BLK,)
     blk_rows = SUBLANES
 
+    vspec = pl.BlockSpec((blk_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_noise_kernel, impulse_count),
         out_shape=jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
@@ -242,18 +228,10 @@ def _noise3d_sum_pallas(p_space, seed, kernel_r, m6, impulse_count=3,
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((blk_rows, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_rows, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_rows, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_rows, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            vspec, vspec, vspec, vspec, vspec, vspec,
         ],
-        out_specs=pl.BlockSpec((blk_rows, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=vspec,
         interpret=interpret,
-    )(params, px, py, pz, sd)
+    )(params, px, py, pz, sd, kr, qmv)
 
     return out.reshape(-1)[:n]

@@ -150,6 +150,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("scene")
     ap.add_argument("--spp", type=int, default=None)
+    ap.add_argument("--res", default=None, metavar="WxH",
+                    help="override the camera resolution (e.g. 256x256)")
     ap.add_argument("--seed", type=int, default=0xBA5EBA11)
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("--checkpoint-interval", type=int, default=0,
@@ -187,7 +189,12 @@ def main(argv=None):
         srv = RenderServer(port=args.serve)
         print(f"serving render status on http://127.0.0.1:{srv.port}")
 
-    scene, rdoc = load_scene(args.scene, seed=args.seed)
+    res_override = None
+    if args.res:
+        wh = args.res.lower().split("x")
+        res_override = (int(wh[0]), int(wh[-1]))
+    scene, rdoc = load_scene(args.scene, seed=args.seed,
+                             res_override=res_override)
     spp = args.spp or int(rdoc.get("spp", 32))
     out = args.output or rdoc.get("output_file",
                                   os.path.splitext(args.scene)[0] + ".png")

@@ -831,8 +831,10 @@ def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
     ), rdoc
 
 
-def load_scene(path, seed=0xBA5EBA11):
+def load_scene(path, seed=0xBA5EBA11, res_override=None):
     with open(path) as f:
         doc = json.load(f)
     doc.setdefault("__dir__", os.path.dirname(os.path.abspath(path)))
+    if res_override is not None:
+        doc.setdefault("camera", {})["resolution"] = list(res_override)
     return scene_from_dict(doc, seed=seed)
