@@ -1,0 +1,101 @@
+"""Transport-level parity vs the CPU reference renderer.
+
+goldens/*.pfm are rendered by the UNMODIFIED reference binary (built by
+make_goldens.py from /root/reference with dependency shims only: boost::math
+-> libstdc++ special functions, no OpenVDB/FFTW) at 64x64, 256 spp.  These
+tests render the same scene JSONs with tungsten_tpu and compare bucketed
+radiance means within Monte-Carlo error — the "three representations, one
+image" contract of the reference (README.md:18-24) extended across
+renderers (GaussianProcessMedium.cpp:221-398 transport semantics).
+
+Noise model: both images are unbiased MC estimates of the same integrand.
+We compare B x B bucket means with a tolerance built from the *golden's own
+per-bucket spread* plus our sample count, so structured bias (wrong
+transmittance law, off-by-cosine, flipped normal) fails while white noise
+passes.
+"""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tungsten_tpu.io.image import read_pfm
+from tungsten_tpu.scene.parse import load_scene
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLD = os.path.join(ROOT, "goldens")
+RES = 64
+
+
+def _render_ours(scene_name, spp, res=RES, seed=0xBA5EBA11):
+    from tungsten_tpu.render import render
+    scene, _ = load_scene(os.path.join(ROOT, "scenes", scene_name + ".json"),
+                          seed=seed, res_override=(res, res))
+    film = render(scene, spp) / spp
+    return np.asarray(film).reshape(res, res, 3)
+
+
+def _buckets(img, b=8):
+    h, w, _ = img.shape
+    return img.reshape(h // b, b, w // b, b, 3).mean(axis=(1, 3))
+
+
+def _compare(name, spp_ours, rtol_extra=0.0):
+    gold_path = os.path.join(GOLD, name + ".pfm")
+    if not os.path.exists(gold_path):
+        pytest.skip(f"golden {name}.pfm not generated")
+    gold = read_pfm(gold_path)
+    if gold.shape[0] != RES:
+        pytest.skip("golden resolution mismatch")
+    ours = _render_ours(name, spp_ours)
+
+    gb = _buckets(gold)
+    ob = _buckets(ours)
+    # per-bucket MC spread of the golden (pixel variance / n_pix) plus a
+    # matching term for our lower spp render
+    b = 8
+    gv = _buckets((gold - np.repeat(np.repeat(gb, b, 0), b, 1)) ** 2)
+    stderr_gold = np.sqrt(gv / (b * b))
+    stderr_ours = stderr_gold * np.sqrt(256.0 / max(spp_ours, 1))
+    tol = 3.0 * (stderr_gold + stderr_ours) + 0.02 + rtol_extra * gb
+    lum_g = gb.mean(-1)
+    lum_o = ob.mean(-1)
+    diff = np.abs(ob - gb)
+    bad = diff > tol
+    frac_bad = bad.mean()
+    # mean-image agreement (global energy): catches uniform scale bias
+    ratio = (lum_o.mean() + 1e-6) / (lum_g.mean() + 1e-6)
+    assert 0.9 < ratio < 1.1, (name, ratio)
+    assert frac_bad < 0.08, (name, frac_bad, float(diff.max()),
+                             float(tol.min()))
+
+
+@pytest.mark.heavy
+def test_golden_sphere_box():
+    _compare("gpis-sphere-box", spp_ours=48)
+
+
+@pytest.mark.heavy
+def test_golden_mirror_1d():
+    _compare("gpis-mirror-1d", spp_ours=48)
+
+
+@pytest.mark.heavy
+def test_golden_mirror_1d_corrxy():
+    _compare("gpis-mirror-1d-corrxy", spp_ours=48)
+
+
+@pytest.mark.heavy
+def test_golden_weight_space():
+    _compare("gpis-weight-space", spp_ours=48)
+
+
+@pytest.mark.heavy
+def test_golden_function_space():
+    _compare("gpis-function-space", spp_ours=48)
+
+
+@pytest.mark.heavy
+def test_golden_ensemble():
+    _compare("gpis-ensemble", spp_ours=48)

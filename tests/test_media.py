@@ -159,3 +159,73 @@ class TestFunctionSpaceMarch:
         t = np.asarray(res["t"])[hits]
         assert abs(t.mean() - 1.5) < 0.15
         assert t.std() > 0.002
+
+
+class TestGpColorEmission:
+    """GP scatter color / volume emission fields
+    (GaussianProcessMedium.cpp:316-317, GPFunctions.hpp:849-857)."""
+
+    def _colored_medium(self):
+        from tungsten_tpu.ops.fields import Field
+        gp = sc.GP(mean=SphericalMean.create(center=(0, 0, 0), radius=0.5),
+                   cov=SquaredExponentialCov.create(sigma=1e-5, l=0.3),
+                   color_field=Field.constant([0.9, 0.4, 0.1],
+                                              is_vector=True),
+                   emission_field=Field.constant([0.0, 2.0, 0.5],
+                                                 is_vector=True))
+        return md.Medium(
+            sigma_a=jnp.zeros(3), sigma_s=jnp.ones(3),
+            density=jnp.float32(1.0), step_size=jnp.float32(0.01),
+            cfg=sc.SparseConvConfig.create(ctxt=sc.CTXT_RENEWAL),
+            gp=gp, hg_g=jnp.float32(0.0), kind=md.GPIS_SPARSE_CONV)
+
+    def test_scatter_weight_carries_color_and_emission(self):
+        med = self._colored_medium()
+        ro, rd = rays_toward_sphere()
+        state = md.MediumState.make(4)
+        res, _ = md.sample_distance(
+            med, jnp.uint32(7), ro, rd, jnp.zeros(4), jnp.full(4, 4.0),
+            state, PSS, jnp.full(4, 0.5), jnp.ones(4, bool))
+        assert bool(jnp.all(~res["exited"]))
+        np.testing.assert_allclose(np.asarray(res["weight"]),
+                                   np.tile([[0.9, 0.4, 0.1]], (4, 1)),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(res["emission"]),
+                                   np.tile([[0.0, 2.0, 0.5]], (4, 1)),
+                                   rtol=1e-5)
+
+    def test_exit_has_no_color_or_emission(self):
+        med = self._colored_medium()
+        ro = jnp.tile(jnp.array([[0.0, 2.0, 2.0]]), (4, 1))
+        rd = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (4, 1))
+        state = md.MediumState.make(4)
+        res, _ = md.sample_distance(
+            med, jnp.uint32(7), ro, rd, jnp.zeros(4), jnp.full(4, 4.0),
+            state, PSS, jnp.full(4, 0.5), jnp.ones(4, bool))
+        assert bool(jnp.all(res["exited"]))
+        np.testing.assert_allclose(np.asarray(res["weight"]), 1.0)
+        np.testing.assert_allclose(np.asarray(res["emission"]), 0.0)
+
+    def test_gray_matches_fieldless(self):
+        """A constant-1 color / 0 emission field must be bit-identical to no
+        field at all."""
+        med0 = make_medium(sigma=1e-5)
+        from tungsten_tpu.ops.fields import Field
+        med1 = dataclasses.replace(
+            med0, gp=dataclasses.replace(
+                med0.gp,
+                color_field=Field.constant([1.0, 1.0, 1.0], is_vector=True),
+                emission_field=Field.constant([0.0, 0.0, 0.0],
+                                              is_vector=True)))
+        ro, rd = rays_toward_sphere()
+        state = md.MediumState.make(4)
+        r0, _ = md.sample_distance(med0, jnp.uint32(7), ro, rd, jnp.zeros(4),
+                                   jnp.full(4, 4.0), state, PSS,
+                                   jnp.full(4, 0.5), jnp.ones(4, bool))
+        r1, _ = md.sample_distance(med1, jnp.uint32(7), ro, rd, jnp.zeros(4),
+                                   jnp.full(4, 4.0), state, PSS,
+                                   jnp.full(4, 0.5), jnp.ones(4, bool))
+        np.testing.assert_array_equal(np.asarray(r0["weight"]),
+                                      np.asarray(r1["weight"]))
+        np.testing.assert_array_equal(np.asarray(r0["t"]),
+                                      np.asarray(r1["t"]))

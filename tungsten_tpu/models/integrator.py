@@ -401,7 +401,11 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
     isect2 = jax.vmap(lambda o, w: pr.intersect(scene.prims, o, w, _EPS,
                                                 _INF))(
         jax.lax.stop_gradient(o2), jax.lax.stop_gradient(d2))
-    hit_light2 = valid2 & isect2["hit"] & (isect2["prim"] == light)
+    # front-side hits only: Primitive::evalDirect returns zero on backside
+    # (a ceiling vertex just above the down-facing light otherwise collects
+    # its full back-side emission — caught by golden parity, +8% energy)
+    hit_light2 = valid2 & isect2["hit"] & (isect2["prim"] == light) \
+        & ~isect2["back_side"]
     env_hit2 = (valid2 & is_env & ~isect2["hit"]) if has_env \
         else jnp.zeros(R, bool)
     t2_safe = jnp.where(hit_light2, isect2["t"], 1.0)
@@ -559,6 +563,7 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None,
         med_weight = jnp.ones((R, 3), jnp.float32)
         scheme = jnp.zeros(R, jnp.int32)
         failed = jnp.zeros(R, bool)
+        med_emis = jnp.zeros((R, 3), jnp.float32)
         import os as _os
         dbg_sd = {}
         for mi, medium in enumerate(scene.media):
@@ -576,8 +581,14 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None,
             med_weight = jnp.where(in_m[:, None], res["weight"], med_weight)
             scheme = jnp.where(in_m, res["scheme"], scheme)
             failed = failed | (in_m & res["failed"])
+            if "emission" in res:
+                med_emis = jnp.where(in_m[:, None], res["emission"],
+                                     med_emis)
 
         active = active & ~failed
+        # volume emission BEFORE the scatter weight (PathTracer.cpp:72-73)
+        emission = emission + jnp.where(active[:, None],
+                                        throughput * med_emis, 0.0)
         throughput = throughput * jnp.where(vol_event[:, None], med_weight,
                                             1.0)
         escaped = active & ~vol_event & ~did_hit
@@ -630,9 +641,12 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None,
         tfr, bfr = jax.vmap(oriented_frame)(sh_normal, isect["tangent"])
         wi_local = jax.vmap(frame_to_local)(tfr, bfr, sh_normal, -rd)
 
-        # emissive surface hit (handleSurface:592-595)
+        # emissive surface hit (handleSurface:592-595); primitives emit
+        # from the front side only (Primitive::emission returns zero on
+        # hitBackside — caught by golden parity vs the reference)
         prim_em = scene.prims.emission[hit_prim]
-        em_gate = surf_event & (jnp.max(prim_em, axis=-1) > 0.0) \
+        em_gate = surf_event & ~backside \
+            & (jnp.max(prim_em, axis=-1) > 0.0) \
             & (bounce >= scene.min_bounces) \
             & (was_specular | (not scene.enable_light_sampling))
         emission = emission + jnp.where(em_gate[:, None],
@@ -740,7 +754,16 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None,
                                       _reattach_ratio(f_s))
         s_w = _nanprobe(s_w, "s_w")
         throughput = throughput * jnp.where(surf_scatter[:, None], s_w, 1.0)
-        was_specular = jnp.where(surf_scatter, s["specular"], was_specular)
+        # forward/transparent passthrough keeps wasSpecular from the last
+        # REAL scatter (TraceBase.cpp:577-611: the forward branch never
+        # touches wasSpecular) — overwriting it with True double-counts
+        # lights seen through transparent interfaces with NEE (caught by
+        # golden parity: +38% energy on the Cornell scenes).  A passthrough
+        # is the FORWARD kind or a transparency sample with wo == -wi.
+        passthrough = is_fwd | (jnp.sum(jnp.abs(s["wo"] + wi_local),
+                                        axis=-1) < 1e-6)
+        was_specular = jnp.where(surf_scatter & ~passthrough, s["specular"],
+                                 was_specular)
 
         geom_back = dot(wo_world, g_normal) < 0.0
         int_m = scene.prims.int_medium[hit_prim]

@@ -667,7 +667,10 @@ def _sample_distance_fs(med, scene_seed, ro, rd, near, far, state, pss,
         fs_dts=jnp.where(active[:, None], res["ring_dts"], state.fs_dts),
         fs_n=jnp.where(active, res["ring_n"], state.fs_n),
     )
+    ip_fs = ro + t[:, None] * rd
+    weight = weight * jnp.where(hit[:, None], med.gp.color(ip_fs), 1.0)
     return ({"exited": ~hit, "t": t, "weight": weight, "aniso": grad,
+             "emission": jnp.where(hit[:, None], med.gp.emission(ip_fs), 0.0),
              "gp_id": res["gp_id"], "scheme": jnp.zeros_like(res["gp_id"]),
              "failed": failed}, new_state)
 
@@ -777,12 +780,14 @@ def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
     zero_grad = hit & (dot(grad, grad) < 1e-7)
     failed = active & (wrong_side | zero_grad | ~grad_ok)
 
-    # weight: GP color * sigma_s/sigma_t at the scatter point (:316-326)
+    # weight: GP color * sigma_s/sigma_t at the scatter point (:316-326);
+    # volume emission from the mean's emission field (:317)
     sig_s = med.sigma_s * med.density
     sig_t = jnp.maximum(med.sigma_t, 1e-9)
-    color = jnp.ones_like(ip)  # GP color fields: constant 1 unless mean has color
+    color = med.gp.color(ip)
     w_hit = color * (sig_s / sig_t)[None, :]
     weight = jnp.where(hit[:, None], w_hit, 1.0)
+    med_emission = jnp.where(hit[:, None], med.gp.emission(ip), 0.0)
 
     scheme = jax.vmap(lambda p_i: sc.sampling_scheme(med.cfg, med.gp, p_i))(ip)
     scheme = jnp.where(hit, scheme, sc.SCHEME_UNI)
@@ -804,6 +809,7 @@ def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
         dbg = {"dbg_f_at_t": f_at_t, "dbg_corr": corr,
                "dbg_t_raw": m["t"], "dbg_grad_raw": grad}
     return ({"exited": ~hit, "t": t, "weight": weight, "aniso": grad,
+             "emission": med_emission,
              "gp_id": gid_at_t, "scheme": scheme, "failed": failed, **dbg},
             new_state)
 

@@ -57,6 +57,20 @@ class GP:
     cov: object
     mean_additional: object = None
     global_cond: object = None
+    # optional per-point scatter color / volume emission fields attached to
+    # the mean (MeanFunction::color/emission, GPFunctions.hpp:849-857)
+    color_field: object = None
+    emission_field: object = None
+
+    def color(self, p):
+        if self.color_field is None:
+            return jnp.ones(p.shape, jnp.float32)
+        return self.color_field(p)
+
+    def emission(self, p):
+        if self.emission_field is None:
+            return jnp.zeros(p.shape, jnp.float32)
+        return self.emission_field(p)
 
     def mean_and_id(self, p):
         return mean_and_id(self.mean, self.mean_additional, p)

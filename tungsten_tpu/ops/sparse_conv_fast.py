@@ -166,17 +166,12 @@ def make_value_at(cfg, gp, coeff3, ro, rd, pss, scene_seed):
     dwx, dwy, dwz = rd[:, 0], rd[:, 1], rd[:, 2]
     K = cfg.impulse_count
     use_pallas = _use_pallas()
-    ones = jnp.ones(R, jnp.float32)
-    dens = np.float32(cfg.impulse_density)
-    log_base = np.float32(np.log(cfg.base))
+    dens = cfg.impulse_density  # traced leaf (differentiable)
+    log_base = jnp.log(cfg.base)  # traced leaf
 
-    if identity:
-        kr_unit = jnp.broadcast_to(
-            jnp.asarray(base.splat_radius(True, 1.0), jnp.float32), (R,))
-    else:
-        # base radius at unit level scale; level radius = kr_unit * s
-        kr_unit = jnp.broadcast_to(
-            jnp.asarray(base.splat_radius(False, 1.0), jnp.float32), (R,))
+    # rank-0 radius: the stationary path passes it through to the leaner
+    # scalar-parameter Mosaic kernel (per-lane kr/qm only when they vary)
+    kr_unit = jnp.asarray(base.splat_radius(identity, 1.0), jnp.float32)
 
     def _lattice(px, py, pz, seed, kr, qm):
         if not use_pallas:
@@ -187,11 +182,14 @@ def make_value_at(cfg, gp, coeff3, ro, rd, pss, scene_seed):
         p_flat = jnp.stack([px.reshape(-1), py.reshape(-1),
                             pz.reshape(-1)], axis=-1)
         m6 = jnp.stack([jnp.asarray(m, jnp.float32) for m in m_noise])
+        def flat(x):
+            x = jnp.asarray(x)
+            if x.ndim == 0:
+                return x
+            return jnp.broadcast_to(x, shape).reshape(-1)
         total = scp.noise3d_sum(
             p_flat, jnp.broadcast_to(seed, shape).reshape(-1),
-            jnp.broadcast_to(kr, shape).reshape(-1), m6,
-            qm=jnp.broadcast_to(qm, shape).reshape(-1),
-            impulse_count=K,
+            flat(kr), m6, qm=flat(qm), impulse_count=K,
             interpret=_jax.default_backend() == "cpu")
         return total.reshape(shape)
 
@@ -227,8 +225,8 @@ def make_value_at(cfg, gp, coeff3, ro, rd, pss, scene_seed):
                        axis=-1)
 
         if stationary:
-            val = _level_value(px, py, pz, pw, seed0, 1.0, kr_unit, ones,
-                               jnp.float32(1.0))
+            val = _level_value(px, py, pz, pw, seed0, 1.0, kr_unit,
+                               jnp.float32(1.0), jnp.float32(1.0))
             amp = cov.amplitude(pw)
         elif not multi_res:
             # brute-force nonstationary (GPFunctions.cpp:1219-1332): the
@@ -236,9 +234,12 @@ def make_value_at(cfg, gp, coeff3, ro, rd, pss, scene_seed):
             # World space folds max_ls into the spatial scale, which offsets
             # the seed by its level (evaluateNoise3DNormalized:252); the iso
             # variants evaluate at unit spatial scale (offset 0)
-            lvl = np.uint32(0) if identity else np.uint32(
-                int(np.floor(np.log(max(float(max_ls), 1e-30)) /
-                             float(log_base))) & 0xFFFFFFFF)
+            if identity:
+                lvl = np.uint32(0)
+            else:
+                lvl = jnp.floor(
+                    jnp.log(jnp.float32(max(float(max_ls), 1e-30)))
+                    / log_base).astype(jnp.int32).astype(jnp.uint32)
             ls_local = cov.nonstat_splat_kernel_scale(pw)
             inv_ls2 = 1.0 / jnp.maximum(ls_local * ls_local, 1e-12)
             qm = (inv_ls2 / (max_ls * max_ls)) if not identity else inv_ls2
@@ -261,9 +262,11 @@ def make_value_at(cfg, gp, coeff3, ro, rd, pss, scene_seed):
             vals = []
             for s, lvl_u in ((s_lo, lvl_i), (s_hi, lvl_i + _U1)):
                 if identity:
+                    # per-level scale lives in the positions; kr/qm stay
+                    # scalar -> scalar-parameter kernel
                     vals.append(_level_value(
                         px, py, pz, pw, seed0 + lvl_u, 1.0 / s, kr_unit,
-                        ones, jnp.float32(1.0)))
+                        jnp.float32(1.0), jnp.float32(1.0)))
                 else:
                     vals.append(_level_value(
                         px, py, pz, pw, seed0 + lvl_u, 1.0, kr_unit * s,

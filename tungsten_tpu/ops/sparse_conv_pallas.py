@@ -139,6 +139,18 @@ def _noise_kernel(impulse_count, params_ref, px_ref, py_ref, pz_ref,
                               kr_ref[:], qm_ref[:], m6, impulse_count)
 
 
+def _noise_kernel_scalar(impulse_count, params_ref, px_ref, py_ref, pz_ref,
+                         seed_ref, out_ref):
+    """Scalar-kr/qm variant (stationary hot path): params (SMEM, (1, 8)) =
+    [m00, m11, m22, m01, m02, m12, kr, qm] — keeps the per-impulse inner
+    loop free of per-lane radius reciprocals."""
+    m6 = tuple(params_ref[0, i] for i in range(6))
+    kr = params_ref[0, 6]
+    qm = params_ref[0, 7]
+    out_ref[:] = _lattice_sum(px_ref[:], py_ref[:], pz_ref[:], seed_ref[:],
+                              kr, qm, m6, impulse_count)
+
+
 def _ref_sum(p_space, seed, kernel_r, qm, m6, impulse_count):
     """XLA re-trace of the kernel's lattice sum — identical math/hashes; used
     only for the backward pass (jax.vjp) of the custom VJP below."""
@@ -184,13 +196,87 @@ def noise3d_sum(p_space, seed, kernel_r, m6, qm=None, impulse_count=3,
     scale / multi-res level).  Returns [N] f32.  Differentiable w.r.t.
     p_space / kernel_r / qm / m6 (custom VJP; XLA backward)."""
     n = p_space.shape[0]
-    kr = jnp.broadcast_to(jnp.asarray(kernel_r, jnp.float32), (n,))
-    qmv = (jnp.ones(n, jnp.float32) if qm is None
-           else jnp.broadcast_to(jnp.asarray(qm, jnp.float32), (n,)))
+    kr = jnp.asarray(kernel_r, jnp.float32)
+    qmv = jnp.ones((), jnp.float32) if qm is None \
+        else jnp.asarray(qm, jnp.float32)
+    # rank-0 kr AND qm -> scalar-parameter kernel (SMEM constants, leaner
+    # inner loop); any per-lane input -> the generalized vector kernel
+    if kr.ndim == 0 and qmv.ndim == 0:
+        return _noise3d_sum_s(jnp.asarray(p_space, jnp.float32),
+                              jnp.asarray(seed, jnp.uint32),
+                              kr, qmv, jnp.asarray(m6, jnp.float32),
+                              int(impulse_count), bool(interpret))
+    kr = jnp.broadcast_to(kr, (n,))
+    qmv = jnp.broadcast_to(qmv, (n,))
     return _noise3d_sum(jnp.asarray(p_space, jnp.float32),
                         jnp.asarray(seed, jnp.uint32),
                         kr, qmv, jnp.asarray(m6, jnp.float32),
                         int(impulse_count), bool(interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _noise3d_sum_s(p_space, seed, kernel_r, qm, m6, impulse_count, interpret):
+    return _noise3d_sum_s_fwd(p_space, seed, kernel_r, qm, m6, impulse_count,
+                              interpret)[0]
+
+
+def _noise3d_sum_s_fwd(p_space, seed, kernel_r, qm, m6, impulse_count,
+                       interpret):
+    out = _noise3d_sum_pallas_s(p_space, seed, kernel_r, qm, m6,
+                                impulse_count=impulse_count,
+                                interpret=interpret)
+    return out, (p_space, seed, kernel_r, qm, m6)
+
+
+def _noise3d_sum_s_bwd(impulse_count, interpret, res, g):
+    p_space, seed, kernel_r, qm, m6 = res
+    _, vjp = jax.vjp(
+        lambda p, kr, q, m: _ref_sum(p, seed, kr, q, m, impulse_count),
+        p_space, kernel_r, qm, m6)
+    dp, dkr, dqm, dm6 = vjp(g)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dp, dseed, dkr, dqm, dm6
+
+
+_noise3d_sum_s.defvjp(_noise3d_sum_s_fwd, _noise3d_sum_s_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("impulse_count", "interpret"))
+def _noise3d_sum_pallas_s(p_space, seed, kernel_r, qm, m6, impulse_count=3,
+                          interpret=False):
+    n = p_space.shape[0]
+    n_pad = -(-n // BLK) * BLK
+    pad = n_pad - n
+
+    def prep(x, dtype):
+        x = jnp.pad(x.astype(dtype), (0, pad))
+        return x.reshape(n_pad // LANES, LANES)
+
+    px = prep(p_space[:, 0], jnp.float32)
+    py = prep(p_space[:, 1], jnp.float32)
+    pz = prep(p_space[:, 2], jnp.float32)
+    sd = prep(seed, jnp.uint32)
+
+    params = jnp.stack([m6[0], m6[1], m6[2], m6[3], m6[4], m6[5],
+                        kernel_r, qm]).reshape(1, 8).astype(jnp.float32)
+
+    grid = (n_pad // BLK,)
+    vspec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_noise_kernel_scalar, impulse_count),
+        out_shape=jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            vspec, vspec, vspec, vspec,
+        ],
+        out_specs=vspec,
+        interpret=interpret,
+    )(params, px, py, pz, sd)
+
+    return out.reshape(-1)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("impulse_count", "interpret"))

@@ -406,7 +406,16 @@ def parse_gp(g: dict, base_dir=".") -> sc.GP:
         gp_tmp = sc.GP(mean=mean, cov=cov)
         gc = gpmod.build_global_cond(gp_tmp, gpmod.make_cov_fn(gp_tmp),
                                      jnp.asarray(pos_u), jnp.asarray(nrm_u))
-    return sc.GP(mean=mean, cov=cov, global_cond=gc)
+    # scatter color / volume emission fields live on the mean JSON
+    # (MeanFunction::fromJson "color"/"emission", GPFunctions.hpp:800-810)
+    from ..ops.fields import parse_field
+    mdoc = g.get("mean", {})
+    cf = parse_field(mdoc.get("color"), is_vector=True) \
+        if isinstance(mdoc, dict) else None
+    ef = parse_field(mdoc.get("emission"), is_vector=True) \
+        if isinstance(mdoc, dict) else None
+    return sc.GP(mean=mean, cov=cov, global_cond=gc,
+                 color_field=cf, emission_field=ef)
 
 
 # ---------------------------------------------------------------------------
@@ -773,8 +782,14 @@ def scene_from_dict(doc: dict, seed=0xBA5EBA11) -> Scene:
     res = cam_doc.get("resolution", [512, 512])
     if isinstance(res, (int, float)):
         res = [int(res), int(res)]
+    cam_tf = parse_transform(cam_doc.get("transform"))
+    # Camera::fromJson negates the right axis after parsing the transform
+    # (Camera.cpp:70, _transform.setRight(-right)); without this the image
+    # is mirrored left-right vs the reference (caught by golden parity)
+    cam_tf = cam_tf.copy()
+    cam_tf[:3, 0] = -cam_tf[:3, 0]
     camera = Camera.create(
-        transform=parse_transform(cam_doc.get("transform")),
+        transform=cam_tf,
         fov_deg=cam_doc.get("fov", 60.0), res=res,
         kind=cam_doc.get("type", "pinhole"),
         aperture=cam_doc.get("aperture_size", 0.0),
