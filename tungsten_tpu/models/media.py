@@ -313,9 +313,13 @@ def march(med, value_at, ro, rd, near, far, state, pss, u_jitter, active,
         idx = jnp.argmax(flips, axis=0)  # first flip index
 
         t_hi = t + step * idx.astype(jnp.float32)
-        f_hi = jnp.take_along_axis(fs, idx[None, :], axis=0)[0]
-        f_im1 = jnp.take_along_axis(fs, jnp.maximum(idx - 1, 0)[None, :],
-                                    axis=0)[0]
+        # one-hot row select ([S,R] x [S,R] sum) instead of take_along_axis:
+        # the gather lowers to a scalar loop on TPU and dominated the march
+        # body (profiled); S is tiny so the arithmetic form fuses free
+        rows = jnp.arange(S, dtype=jnp.int32)[:, None]
+        f_hi = jnp.sum(jnp.where(rows == idx[None, :], fs, 0.0), axis=0)
+        f_im1 = jnp.sum(jnp.where(rows == jnp.maximum(idx - 1, 0)[None, :],
+                                  fs, 0.0), axis=0)
         f_lo = jnp.where(idx == 0, c["pf"], f_im1)
 
         # value at the last in-range step feeds the next block's f_lo

@@ -122,10 +122,12 @@ def _lattice_sum(px, py, pz, seed, kr, qm, m6_tuple, impulse_count):
                     abx = kr * ddx
                     aby = kr * ddy
                     abz = kr * ddz
-                    q = qm * (m00 * abx * abx + m11 * aby * aby
-                              + m22 * abz * abz
-                              + 2.0 * (m01 * abx * aby + m02 * abx * abz
-                                       + m12 * aby * abz))
+                    q = (m00 * abx * abx + m11 * aby * aby
+                         + m22 * abz * abz
+                         + 2.0 * (m01 * abx * aby + m02 * abx * abz
+                                  + m12 * aby * abz))
+                    if qm is not None:
+                        q = qm * q
                     w = jnp.where(uw < 0.5, -1.0, 1.0)
                     total = total + jnp.where(r2 < 1.0, w * jnp.exp(-q), 0.0)
     return total
@@ -141,14 +143,15 @@ def _noise_kernel(impulse_count, params_ref, px_ref, py_ref, pz_ref,
 
 def _noise_kernel_scalar(impulse_count, params_ref, px_ref, py_ref, pz_ref,
                          seed_ref, out_ref):
-    """Scalar-kr/qm variant (stationary hot path): params (SMEM, (1, 8)) =
-    [m00, m11, m22, m01, m02, m12, kr, qm] — keeps the per-impulse inner
-    loop free of per-lane radius reciprocals."""
+    """Scalar-kr variant (stationary hot path): params (SMEM, (1, 8)) =
+    [m00, m11, m22, m01, m02, m12, kr, _] with the scalar qm pre-folded
+    into m6 by the caller — the per-impulse inner loop stays free of both
+    per-lane radius reciprocals and the extra qm multiply (a dependent
+    multiply per impulse costs ~25% kernel time on the VPU)."""
     m6 = tuple(params_ref[0, i] for i in range(6))
     kr = params_ref[0, 6]
-    qm = params_ref[0, 7]
     out_ref[:] = _lattice_sum(px_ref[:], py_ref[:], pz_ref[:], seed_ref[:],
-                              kr, qm, m6, impulse_count)
+                              kr, None, m6, impulse_count)
 
 
 def _ref_sum(p_space, seed, kernel_r, qm, m6, impulse_count):
@@ -222,7 +225,7 @@ def _noise3d_sum_s(p_space, seed, kernel_r, qm, m6, impulse_count, interpret):
 
 def _noise3d_sum_s_fwd(p_space, seed, kernel_r, qm, m6, impulse_count,
                        interpret):
-    out = _noise3d_sum_pallas_s(p_space, seed, kernel_r, qm, m6,
+    out = _noise3d_sum_pallas_s(p_space, seed, kernel_r, qm * m6,
                                 impulse_count=impulse_count,
                                 interpret=interpret)
     return out, (p_space, seed, kernel_r, qm, m6)
@@ -242,8 +245,9 @@ _noise3d_sum_s.defvjp(_noise3d_sum_s_fwd, _noise3d_sum_s_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("impulse_count", "interpret"))
-def _noise3d_sum_pallas_s(p_space, seed, kernel_r, qm, m6, impulse_count=3,
+def _noise3d_sum_pallas_s(p_space, seed, kernel_r, m6, impulse_count=3,
                           interpret=False):
+    """m6 here is the qm-prefolded quadratic form."""
     n = p_space.shape[0]
     n_pad = -(-n // BLK) * BLK
     pad = n_pad - n
@@ -258,7 +262,8 @@ def _noise3d_sum_pallas_s(p_space, seed, kernel_r, qm, m6, impulse_count=3,
     sd = prep(seed, jnp.uint32)
 
     params = jnp.stack([m6[0], m6[1], m6[2], m6[3], m6[4], m6[5],
-                        kernel_r, qm]).reshape(1, 8).astype(jnp.float32)
+                        kernel_r,
+                        jnp.float32(0.0)]).reshape(1, 8).astype(jnp.float32)
 
     grid = (n_pad // BLK,)
     vspec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),

@@ -102,7 +102,10 @@ def broadcast_scene(scene: Scene):
     arr = [leaf for leaf in leaves if hasattr(leaf, "shape")]
     synced = multihost_utils.broadcast_one_to_all(tuple(arr))
     it = iter(synced)
-    out = [next(it) if hasattr(leaf, "shape") else leaf for leaf in leaves]
+    # broadcast_one_to_all returns host numpy — rewrap as device arrays so
+    # downstream tracers can index them
+    out = [jnp.asarray(next(it)) if hasattr(leaf, "shape") else leaf
+           for leaf in leaves]
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
