@@ -31,16 +31,26 @@ def main():
     res = 128
     scene = _small_scene(res=res, max_bounces=2)
 
-    g = jax.jit(render_pass)
+    from functools import partial
 
-    g(scene, jnp.int32(0)).block_until_ready()  # compile + warmup
+    H, W = scene.camera.res_y, scene.camera.res_x
+
+    @partial(jax.jit, static_argnames=("n",), donate_argnums=(1,))
+    def run_chunk(s0, acc, n):
+        def body(i, a):
+            return a + render_pass(scene, s0 + i)
+        return jax.lax.fori_loop(0, n, body, acc)
+
+    chunk = 8
+    acc = jnp.zeros((H, W, 3), jnp.float32)
+    acc = run_chunk(jnp.int32(0), acc, chunk)  # compile + warmup
+    acc.block_until_ready()
 
     n_passes = 32
     t0 = time.time()
-    acc = None
-    for s in range(n_passes):
-        img = g(scene, jnp.int32(s + 1))
-        acc = img if acc is None else acc + img
+    acc = jnp.zeros((H, W, 3), jnp.float32)
+    for s in range(0, n_passes, chunk):
+        acc = run_chunk(jnp.int32(s + 1), acc, chunk)
     acc.block_until_ready()
     dt = time.time() - t0
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.pytree import struct
-from ..utils.vecmath import dot, normalize
+from ..utils.vecmath import tlookup, dot, normalize
 from . import fiber as fb
 from . import ndf as nd
 
@@ -202,7 +202,7 @@ def cosine_hemisphere(u1, u2):
 # ---------------------------------------------------------------------------
 
 def is_pure_specular(table, bi):
-    k = table.kind[bi]
+    k = tlookup(table.kind, bi)
     return ((k == MIRROR) | (k == CONDUCTOR) | (k == DIELECTRIC)
             | (k == THIN_SHEET))
 
@@ -214,18 +214,18 @@ def _diffuse_fresnel(ior):
 
 
 def is_forward(table, bi):
-    return table.kind[bi] == FORWARD
+    return tlookup(table.kind, bi) == FORWARD
 
 
 def is_null(table, bi):
-    return table.kind[bi] == NULL
+    return tlookup(table.kind, bi) == NULL
 
 
 def _hair_params(table, bi):
     """(scale_rad, vR, vTT, vTRT) from the row's roughness/p0
     (HairBcsdf::prepareForRender, HairBcsdf.cpp:417-427)."""
-    beta_r = jnp.maximum(np.pi / 2.0 * table.roughness[bi], 0.04)
-    return (table.p0[bi], beta_r * beta_r,
+    beta_r = jnp.maximum(np.pi / 2.0 * tlookup(table.roughness, bi), 0.04)
+    return (tlookup(table.p0, bi), beta_r * beta_r,
             (beta_r * 0.5) ** 2, (beta_r * 2.0) ** 2)
 
 
@@ -234,15 +234,15 @@ def _eval_simple(table, bi, wi, wo):
 
     Specular/forward/null kinds evaluate to 0 (TraceBase estimateDirect skips
     them, TraceBase.cpp:432)."""
-    k = table.kind[bi]
-    albedo = table.albedo[bi]
+    k = tlookup(table.kind, bi)
+    albedo = tlookup(table.albedo, bi)
     czi, czo = wi[..., 2], wo[..., 2]
     same_side = (czi > 0) & (czo > 0)
 
     f_lam = albedo / jnp.pi * jnp.maximum(czo, 0.0)[..., None]
 
     # Oren-Nayar (OrenNayarBsdf.cpp; standard Fujii-style approximation)
-    sigma = table.roughness[bi]
+    sigma = tlookup(table.roughness, bi)
     s2 = sigma * sigma
     A = 1.0 - 0.5 * s2 / (s2 + 0.33)
     Bc = 0.45 * s2 / (s2 + 0.09)
@@ -259,8 +259,8 @@ def _eval_simple(table, bi, wi, wo):
 
     # ---- microfacet lobes (RoughConductor/RoughPlastic/RoughDielectric,
     # NDFs from models/ndf.py replacing facet-forge) -----------------------
-    alpha = jnp.maximum(table.roughness[bi], 1e-3)
-    dist = table.dist[bi]
+    alpha = jnp.maximum(tlookup(table.roughness, bi), 1e-3)
+    dist = tlookup(table.dist, bi)
     m = wi + wo
     # sqrt(max(.,eps)) keeps the backward finite at m == 0 (wo == -wi rows:
     # jnp.linalg.norm has a NaN gradient at exactly zero)
@@ -272,11 +272,11 @@ def _eval_simple(table, bi, wi, wo):
     G = nd.g2(dist, wi, wo, m, alpha)
     denom_r = 4.0 * jnp.maximum(jnp.abs(czi), 1e-6)
 
-    F_cond = conductor_fresnel(table.eta[bi], table.k[bi],
+    F_cond = conductor_fresnel(tlookup(table.eta, bi), tlookup(table.k, bi),
                                jnp.abs(wi_dot_m)[..., None])
     f_rc = albedo * F_cond * (D * G / denom_r)[..., None]
 
-    ior = table.ior[bi]
+    ior = tlookup(table.ior, bi)
     F_im, _ = dielectric_fresnel(1.0 / ior, jnp.abs(wi_dot_m))
     f_rp_spec = (F_im * D * G / denom_r)[..., None]
     # plastic diffuse base with internal-scattering compensation
@@ -311,8 +311,8 @@ def _eval_simple(table, bi, wi, wo):
 
     # modified Phong (PhongBsdf.cpp:39-120): diffuse_ratio mix of lambert and
     # an (e+2)/(2pi) cos^e lobe around the mirror direction
-    e = jnp.maximum(table.p0[bi], 1.0)
-    dr = jnp.clip(table.p1[bi], 0.0, 1.0)
+    e = jnp.maximum(tlookup(table.p0, bi), 1.0)
+    dr = jnp.clip(tlookup(table.p1, bi), 0.0, 1.0)
     cos_r = jnp.clip(-wi[..., 0] * wo[..., 0] - wi[..., 1] * wo[..., 1]
                      + czi * czo, 0.0, 1.0)
     f_ph = (albedo * ((1.0 - dr) * (e + 2.0) / (2.0 * jnp.pi)
@@ -322,7 +322,7 @@ def _eval_simple(table, bi, wi, wo):
 
     # diffuse transmission (DiffuseTransmissionBsdf): two-sided lambert with
     # transmit fraction T = p0
-    T = jnp.clip(table.p0[bi], 0.0, 1.0)
+    T = jnp.clip(tlookup(table.p0, bi), 0.0, 1.0)
     f_dt = (albedo / jnp.pi * jnp.abs(czo)[..., None]
             * jnp.where(opp_side, T, 1.0 - T)[..., None])
 
@@ -347,10 +347,10 @@ def _eval_simple(table, bi, wi, wo):
     if any(kk in FIBER_KINDS for kk in table.kinds_static):
         c_half = jnp.sqrt(jnp.maximum(
             0.5 * (1.0 + jnp.sum(wi * wo, -1)), 0.0))
-        Fw = conductor_fresnel(table.eta[bi], table.k[bi],
+        Fw = conductor_fresnel(tlookup(table.eta, bi), tlookup(table.k, bi),
                                c_half[..., None])
         f_wire = albedo * Fw * fb.wire_eval_pdf(
-            wi, wo, fb.wire_v(table.roughness[bi]))[..., None]
+            wi, wo, fb.wire_v(tlookup(table.roughness, bi)))[..., None]
         f = jnp.where(jnp.broadcast_to(k == ROUGH_WIRE, f.shape),
                       f_wire, f)
         f_lf = albedo * fb.lambertian_cylinder(wo)[..., None]
@@ -363,21 +363,21 @@ def _eval_simple(table, bi, wi, wo):
                           cdf=table.hair_cdf[h], wsum=table.hair_wsum[h])
                 fh = fb.hair_eval(hd, wi, wo, sr, vR, vTT, vTRT)
                 f = jnp.where(jnp.broadcast_to(
-                    (k == HAIR) & (table.hair_idx[bi] == h), f.shape),
+                    (k == HAIR) & (tlookup(table.hair_idx, bi) == h), f.shape),
                     fh, f)
     return f
 
 
 def _pdf_simple(table, bi, wi, wo):
     """pdf of sample() for non-Dirac, non-nested lobes."""
-    k = table.kind[bi]
+    k = tlookup(table.kind, bi)
     czi, czo = wi[..., 2], wo[..., 2]
     p_cos = jnp.maximum(czo, 0.0) / jnp.pi
     diffuse = (k == LAMBERT) | (k == OREN_NAYAR)
     pdf = jnp.where(diffuse & (czi > 0), p_cos, 0.0)
 
-    alpha = jnp.maximum(table.roughness[bi], 1e-3)
-    dist = table.dist[bi]
+    alpha = jnp.maximum(tlookup(table.roughness, bi), 1e-3)
+    dist = tlookup(table.dist, bi)
     m = wi + wo
     # sqrt(max(.,eps)) keeps the backward finite at m == 0 (wo == -wi rows:
     # jnp.linalg.norm has a NaN gradient at exactly zero)
@@ -390,7 +390,7 @@ def _pdf_simple(table, bi, wi, wo):
     pdf = jnp.where((k == ROUGH_CONDUCTOR) & (czi > 0) & (czo > 0),
                     p_spec, pdf)
 
-    ior = table.ior[bi]
+    ior = tlookup(table.ior, bi)
     F_i, _ = dielectric_fresnel(1.0 / ior, jnp.maximum(czi, 0.0))
     pdf = jnp.where((k == PLASTIC) & (czi > 0) & (czo > 0),
                     (1.0 - F_i) * p_cos, pdf)
@@ -419,8 +419,8 @@ def _pdf_simple(table, bi, wi, wo):
                     jnp.where(opp, p_trans, p_refl), pdf)
 
     # phong: diffuse_ratio mix of cosine and (e+1)/(2pi) cos^e lobe
-    e = jnp.maximum(table.p0[bi], 1.0)
-    dr = jnp.clip(table.p1[bi], 0.0, 1.0)
+    e = jnp.maximum(tlookup(table.p0, bi), 1.0)
+    dr = jnp.clip(tlookup(table.p1, bi), 0.0, 1.0)
     cos_r = jnp.clip(-wi[..., 0] * wo[..., 0] - wi[..., 1] * wo[..., 1]
                      + czi * czo, 0.0, 1.0)
     p_ph = (dr * p_cos
@@ -428,7 +428,7 @@ def _pdf_simple(table, bi, wi, wo):
     pdf = jnp.where((k == PHONG) & (czi > 0) & (czo > 0), p_ph, pdf)
 
     # diffuse transmission
-    T = jnp.clip(table.p0[bi], 0.0, 1.0)
+    T = jnp.clip(tlookup(table.p0, bi), 0.0, 1.0)
     p_dt = jnp.abs(czo) / jnp.pi * jnp.where(opp, T, 1.0 - T)
     pdf = jnp.where(k == DIFFUSE_TRANSMISSION, p_dt, pdf)
 
@@ -438,14 +438,14 @@ def _pdf_simple(table, bi, wi, wo):
     # .cpp:162-175, LambertianFiberBcsdf.cpp:64-69, HairBcsdf::pdf)
     if any(kk in FIBER_KINDS for kk in table.kinds_static):
         pdf = jnp.where(k == ROUGH_WIRE, fb.wire_eval_pdf(
-            wi, wo, fb.wire_v(table.roughness[bi])), pdf)
+            wi, wo, fb.wire_v(tlookup(table.roughness, bi))), pdf)
         pdf = jnp.where(k == LAMBERT_FIBER, fb.lambertian_cylinder(wo), pdf)
         if HAIR in table.kinds_static:
             sr, vR, vTT, vTRT = _hair_params(table, bi)
             for h in range(table.hair_table.shape[0]):
                 hd = dict(table=table.hair_table[h],
                           cdf=table.hair_cdf[h], wsum=table.hair_wsum[h])
-                pdf = jnp.where((k == HAIR) & (table.hair_idx[bi] == h),
+                pdf = jnp.where((k == HAIR) & (tlookup(table.hair_idx, bi) == h),
                                 fb.hair_pdf(hd, wi, wo, sr, vR, vTT, vTRT),
                                 pdf)
     return pdf
@@ -456,8 +456,8 @@ def _sample_simple(table, bi, wi, u):
 
     Returns dict(wo, weight[3], pdf, specular(bool), valid(bool)).
     The medium-boundary dielectric handles refraction with relative IOR."""
-    k = table.kind[bi]
-    albedo = table.albedo[bi]
+    k = tlookup(table.kind, bi)
+    albedo = tlookup(table.albedo, bi)
     czi = wi[..., 2]
 
     # diffuse: cosine hemisphere
@@ -472,14 +472,14 @@ def _sample_simple(table, bi, wi, u):
     w_m = albedo
 
     # conductor (ConductorBsdf)
-    F_c = conductor_fresnel(table.eta[bi], table.k[bi],
+    F_c = conductor_fresnel(tlookup(table.eta, bi), tlookup(table.k, bi),
                             jnp.abs(czi)[..., None])
     w_c = albedo * F_c
 
     # dielectric (DielectricBsdf): reflect or refract by Fresnel
-    eta_rel = jnp.where(czi < 0.0, table.ior[bi], 1.0 / table.ior[bi])
+    eta_rel = jnp.where(czi < 0.0, tlookup(table.ior, bi), 1.0 / tlookup(table.ior, bi))
     F_d, cos_t = dielectric_fresnel(eta_rel, jnp.abs(czi))
-    reflect = (u[2] < F_d) | ~table.enable_refraction[bi]
+    reflect = (u[2] < F_d) | ~tlookup(table.enable_refraction, bi)
     wo_refl = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
     wo_refr = jnp.stack([-wi[..., 0] * eta_rel, -wi[..., 1] * eta_rel,
                          -jnp.sign(czi) * cos_t], axis=-1)
@@ -491,8 +491,8 @@ def _sample_simple(table, bi, wi, u):
     w_f = jnp.ones(3)
 
     # ---- microfacet lobes -------------------------------------------------
-    alpha = jnp.maximum(table.roughness[bi], 1e-3)
-    dist = table.dist[bi]
+    alpha = jnp.maximum(tlookup(table.roughness, bi), 1e-3)
+    dist = tlookup(table.dist, bi)
     sgn = jnp.sign(jnp.where(czi == 0, 1.0, czi))
     wi_up = jnp.stack([wi[..., 0], wi[..., 1], jnp.abs(czi)], axis=-1)
     m_g = nd.sample_vndf_ggx(wi_up, alpha, u[2], u[3])
@@ -514,13 +514,13 @@ def _sample_simple(table, bi, wi, u):
     pdf_rc = pdf_m_up / jnp.maximum(4.0 * jnp.abs(i_dot_m), 1e-9)
     rc_ok = wo_r_up[..., 2] > 1e-5
 
-    F_mc = conductor_fresnel(table.eta[bi], table.k[bi],
+    F_mc = conductor_fresnel(tlookup(table.eta, bi), tlookup(table.k, bi),
                              jnp.abs(i_dot_m)[..., None])
     w_rc = albedo * F_mc * w_micro[..., None]
 
     # plastic (smooth): Fresnel-weighted dirac spec + diffuse
     # (PlasticBsdf: substrate with internal-scattering compensation)
-    ior = table.ior[bi]
+    ior = tlookup(table.ior, bi)
     F_i, _ = dielectric_fresnel(1.0 / ior, jnp.abs(czi))
     F_dr = _diffuse_fresnel(ior)
     spec_choice = u[2] < F_i
@@ -545,7 +545,7 @@ def _sample_simple(table, bi, wi, u):
     # rough dielectric (Walter 2007): reflect/refract through sampled m
     eta_rel2 = jnp.where(czi < 0.0, ior, 1.0 / ior)
     F_rm, cos_tm = dielectric_fresnel(eta_rel2, jnp.abs(i_dot_m))
-    refl_rd = (u[2] < F_rm) | ~table.enable_refraction[bi]
+    refl_rd = (u[2] < F_rm) | ~tlookup(table.enable_refraction, bi)
     wo_rd_refr_up = (eta_rel2[..., None] * (-wi_up)
                      + (eta_rel2 * jnp.abs(i_dot_m) - cos_tm)[..., None]
                      * m_up)
@@ -577,8 +577,8 @@ def _sample_simple(table, bi, wi, u):
     w_ts = jnp.ones(3)
 
     # phong: diffuse_ratio chooses cosine vs cos^e lobe around the mirror dir
-    e = jnp.maximum(table.p0[bi], 1.0)
-    dr = jnp.clip(table.p1[bi], 0.0, 1.0)
+    e = jnp.maximum(tlookup(table.p0, bi), 1.0)
+    dr = jnp.clip(tlookup(table.p1, bi), 0.0, 1.0)
     ph_glossy = u[2] >= dr
     phi_g = 2.0 * jnp.pi * u[0]
     ct_g = jnp.power(jnp.clip(u[1], 1e-9, 1.0), 1.0 / (e + 1.0))
@@ -607,7 +607,7 @@ def _sample_simple(table, bi, wi, u):
         ph_ok = jnp.zeros((), bool)
 
     # diffuse transmission: transmit w.p. T
-    T = jnp.clip(table.p0[bi], 0.0, 1.0)
+    T = jnp.clip(tlookup(table.p0, bi), 0.0, 1.0)
     dt_trans = u[2] < T
     side = jnp.sign(jnp.where(czi == 0, 1.0, czi))
     flip = jnp.where(dt_trans, -side, side)
@@ -664,12 +664,12 @@ def _sample_simple(table, bi, wi, u):
 
     # ---- fiber BCSDFs (models/fiber.py; +y tangent, full sphere) ----------
     if any(kk in FIBER_KINDS for kk in table.kinds_static):
-        albedo_f = table.albedo[bi]
-        wo_w, p_w = fb.wire_sample(wi, fb.wire_v(table.roughness[bi]),
+        albedo_f = tlookup(table.albedo, bi)
+        wo_w, p_w = fb.wire_sample(wi, fb.wire_v(tlookup(table.roughness, bi)),
                                    u[0], u[1], u[2])
         c_half = jnp.sqrt(jnp.maximum(
             0.5 * (1.0 + jnp.sum(wi * wo_w, -1)), 0.0))
-        w_w = albedo_f * conductor_fresnel(table.eta[bi], table.k[bi],
+        w_w = albedo_f * conductor_fresnel(tlookup(table.eta, bi), tlookup(table.k, bi),
                                            c_half[..., None])
         is_w = k == ROUGH_WIRE
         wo = jnp.where(jnp.broadcast_to(is_w, wo.shape), wo_w, wo)
@@ -696,7 +696,7 @@ def _sample_simple(table, bi, wi, u):
                 wo_h, p_h = fb.hair_sample(hd, wi, sr, vR, vTT, vTRT, u4)
                 f_h = fb.hair_eval(hd, wi, wo_h, sr, vR, vTT, vTRT)
                 w_h = f_h / jnp.maximum(p_h, 1e-9)[..., None]
-                is_h = (k == HAIR) & (table.hair_idx[bi] == h)
+                is_h = (k == HAIR) & (tlookup(table.hair_idx, bi) == h)
                 wo = jnp.where(jnp.broadcast_to(is_h, wo.shape), wo_h, wo)
                 weight = jnp.where(jnp.broadcast_to(is_h, weight.shape),
                                    w_h, weight)
@@ -727,8 +727,8 @@ def _coat_refract_in(wi, ior):
 
 def _coat_absorption(table, bi, cti, cto):
     """Beer absorption through the coat, [..., 3]."""
-    th = table.p0[bi]
-    sa = table.sigma_a[bi] * th[..., None]
+    th = tlookup(table.p0, bi)
+    sa = tlookup(table.sigma_a, bi) * th[..., None]
     path = (-1.0 / jnp.maximum(cti, 1e-4)
             - 1.0 / jnp.maximum(cto, 1e-4))
     return jnp.exp(sa * path[..., None])
@@ -738,8 +738,8 @@ def _coat_spec_prob(table, bi, Fi):
     """specularWeight/(specularWeight+substrateWeight) with avgTransmittance
     approximated by the normal-incidence Beer factor
     (SmoothCoatBsdf::prepareForRender integrates this numerically)."""
-    avg_t = jnp.exp(-2.0 * jnp.mean(table.sigma_a[bi], axis=-1)
-                    * table.p0[bi])
+    avg_t = jnp.exp(-2.0 * jnp.mean(tlookup(table.sigma_a, bi), axis=-1)
+                    * tlookup(table.p0, bi))
     sw = Fi
     tw = avg_t * (1.0 - Fi)
     return sw / jnp.maximum(sw + tw, 1e-9)
@@ -754,18 +754,18 @@ def eval_bsdf(table, bi, wi, wo):
     """f(wi, wo) * |cos(wo)| for non-Dirac lobes, all kinds."""
     if not _has_nested(table):
         return _eval_simple(table, bi, wi, wo)
-    k = table.kind[bi]
+    k = tlookup(table.kind, bi)
     f = _eval_simple(table, bi, wi, wo)
-    ba = table.sub_a[bi]
-    bb = table.sub_b[bi]
+    ba = tlookup(table.sub_a, bi)
+    bb = tlookup(table.sub_b, bi)
     f_a = _eval_simple(table, ba, wi, wo)
     f_b = _eval_simple(table, bb, wi, wo)
-    r = jnp.clip(table.p0[bi], 0.0, 1.0)
+    r = jnp.clip(tlookup(table.p0, bi), 0.0, 1.0)
     f = jnp.where(k == MIXED, r * f_a + (1.0 - r) * f_b, f)
     f = jnp.where(k == TRANSPARENCY, f_a, f)
 
     is_coat = (k == SMOOTH_COAT) | (k == ROUGH_COAT)
-    ior = table.ior[bi]
+    ior = tlookup(table.ior, bi)
     wi_s, Fi, cti = _coat_refract_in(wi, ior)
     wo_s, Fo, cto = _coat_refract_in(wo, ior)
     f_sub = _eval_simple(table, ba, wi_s, wo_s)
@@ -775,8 +775,8 @@ def eval_bsdf(table, bi, wi, wo):
     # rough coat adds a glossy dielectric reflection on top
     # (RoughCoatBsdf: microfacet lobe with dielectric Fresnel)
     czi, czo = wi[..., 2], wo[..., 2]
-    alpha = jnp.maximum(table.roughness[bi], 1e-3)
-    dist = table.dist[bi]
+    alpha = jnp.maximum(tlookup(table.roughness, bi), 1e-3)
+    dist = tlookup(table.dist, bi)
     m = wi + wo
     # sqrt(max(.,eps)) keeps the backward finite at m == 0 (wo == -wi rows:
     # jnp.linalg.norm has a NaN gradient at exactly zero)
@@ -799,19 +799,19 @@ def pdf_bsdf(table, bi, wi, wo):
     """pdf of sample() for non-Dirac lobes, all kinds."""
     if not _has_nested(table):
         return _pdf_simple(table, bi, wi, wo)
-    k = table.kind[bi]
+    k = tlookup(table.kind, bi)
     pdf = _pdf_simple(table, bi, wi, wo)
-    ba = table.sub_a[bi]
-    bb = table.sub_b[bi]
+    ba = tlookup(table.sub_a, bi)
+    bb = tlookup(table.sub_b, bi)
     p_a = _pdf_simple(table, ba, wi, wo)
     p_b = _pdf_simple(table, bb, wi, wo)
-    r = jnp.clip(table.p0[bi], 0.0, 1.0)
+    r = jnp.clip(tlookup(table.p0, bi), 0.0, 1.0)
     pdf = jnp.where(k == MIXED, r * p_a + (1.0 - r) * p_b, pdf)
-    alpha_t = jnp.clip(table.p1[bi], 0.0, 1.0)
+    alpha_t = jnp.clip(tlookup(table.p1, bi), 0.0, 1.0)
     pdf = jnp.where(k == TRANSPARENCY, alpha_t * p_a, pdf)
 
     is_coat = (k == SMOOTH_COAT) | (k == ROUGH_COAT)
-    ior = table.ior[bi]
+    ior = tlookup(table.ior, bi)
     wi_s, Fi, cti = _coat_refract_in(wi, ior)
     wo_s, Fo, cto = _coat_refract_in(wo, ior)
     p_sub = _pdf_simple(table, ba, wi_s, wo_s)
@@ -820,8 +820,8 @@ def pdf_bsdf(table, bi, wi, wo):
     p_coat = (1.0 - sp) * p_sub * jac
     # rough coat top lobe pdf
     czi = wi[..., 2]
-    alpha = jnp.maximum(table.roughness[bi], 1e-3)
-    dist = table.dist[bi]
+    alpha = jnp.maximum(tlookup(table.roughness, bi), 1e-3)
+    dist = tlookup(table.dist, bi)
     m = wi + wo
     # sqrt(max(.,eps)) keeps the backward finite at m == 0 (wo == -wi rows:
     # jnp.linalg.norm has a NaN gradient at exactly zero)
@@ -842,12 +842,12 @@ def sample_bsdf(table, bi, wi, u):
     s = _sample_simple(table, bi, wi, u)
     if not _has_nested(table):
         return s
-    k = table.kind[bi]
-    ba = table.sub_a[bi]
-    bb = table.sub_b[bi]
+    k = tlookup(table.kind, bi)
+    ba = tlookup(table.sub_a, bi)
+    bb = tlookup(table.sub_b, bi)
 
     # ---- transparency: w.p. alpha sample the base, else pass through ------
-    alpha_t = jnp.clip(table.p1[bi], 0.0, 1.0)
+    alpha_t = jnp.clip(tlookup(table.p1, bi), 0.0, 1.0)
     s_a = _sample_simple(table, ba, wi, u)
     through = u[4] >= alpha_t
     s_tr = {
@@ -859,7 +859,7 @@ def sample_bsdf(table, bi, wi, u):
     }
 
     # ---- mixed: pick bsdf0 w.p. ratio, mixture estimator for smooth lobes -
-    r = jnp.clip(table.p0[bi], 0.0, 1.0)
+    r = jnp.clip(tlookup(table.p0, bi), 0.0, 1.0)
     pick_a = u[4] < r
     s_b = _sample_simple(table, bb, wi, u)
     wo_mx = jnp.where(pick_a[..., None], s_a["wo"], s_b["wo"])
@@ -883,15 +883,15 @@ def sample_bsdf(table, bi, wi, u):
     }
 
     # ---- coats (SmoothCoatBsdf.cpp:40-100) --------------------------------
-    ior = table.ior[bi]
+    ior = tlookup(table.ior, bi)
     wi_s, Fi, cti = _coat_refract_in(wi, ior)
     sp = _coat_spec_prob(table, bi, Fi)
     top = u[4] < sp
     # top lobe: smooth mirror or microfacet reflection off the coat
     czi = wi[..., 2]
     wo_mirror = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
-    alpha = jnp.maximum(table.roughness[bi], 1e-3)
-    dist = table.dist[bi]
+    alpha = jnp.maximum(tlookup(table.roughness, bi), 1e-3)
+    dist = tlookup(table.dist, bi)
     wi_up = jnp.stack([wi[..., 0], wi[..., 1], jnp.abs(czi)], axis=-1)
     m_g = nd.sample_vndf_ggx(wi_up, alpha, u[2], u[3])
     m_b = nd.sample_vndf_beckmann(wi_up, alpha, u[2], u[3])

@@ -42,7 +42,7 @@ from ..ops import sparse_conv as sc
 from ..utils import rng as trng
 from ..utils.pytree import static_field, struct
 from ..utils.vecmath import (dot, frame_to_local, frame_to_world, normalize,
-                             oriented_frame, safe_normalize, tangent_frame)
+                             oriented_frame, safe_normalize, tangent_frame, tlookup)
 from . import bsdfs as bs
 from . import envlight as ev
 from . import media as md
@@ -185,7 +185,7 @@ def shadow_walk(scene, ro, rd, dist, light_prim, med_idx, med_state, pss,
         hit_prim = isect["prim"]
         is_light_prim = hit_prim == light_prim
         fwd = jax.vmap(lambda b: bs.is_forward(scene.bsdfs, b))(
-            scene.prims.bsdf[hit_prim])
+            tlookup(scene.prims.bsdf, hit_prim))
         blocked = hit & ~is_light_prim & ~fwd
         thr = jnp.where(blocked[:, None], 0.0, thr)
         alive = alive & ~blocked
@@ -205,8 +205,8 @@ def shadow_walk(scene, ro, rd, dist, light_prim, med_idx, med_state, pss,
             break
         adv = alive & hit & fwd & ~is_light_prim
         geom_back = isect["back_side"]
-        int_m = scene.prims.int_medium[hit_prim]
-        ext_m = scene.prims.ext_medium[hit_prim]
+        int_m = tlookup(scene.prims.int_medium, hit_prim)
+        ext_m = tlookup(scene.prims.ext_medium, hit_prim)
         override = (int_m >= 0) | (ext_m >= 0)
         new_med = jnp.where(geom_back, ext_m, int_m)
         cur_med = jnp.where(adv & override, new_med, cur_med)
@@ -244,11 +244,11 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
     ul = draw(bounce, 40)
     li_sel = jnp.minimum((ul * n_total).astype(jnp.int32), n_total - 1)
     is_env = (li_sel == nl) if has_env else jnp.zeros(R, bool)
-    light = (scene.lights[jnp.minimum(li_sel, nl - 1)] if nl > 0
+    light = (tlookup(scene.lights, jnp.minimum(li_sel, nl - 1)) if nl > 0
              else jnp.full(R, -3, jnp.int32))
     light = jnp.where(is_env, -3, light)  # -3: matches no prim
     light_weight = jnp.float32(n_total)
-    light_e = scene.prims.emission[jnp.maximum(light, 0)]
+    light_e = tlookup(scene.prims.emission, jnp.maximum(light, 0))
 
     # ---------------- strategy 1: light sampling --------------------------
     u1, u2 = draw(bounce, 41), draw(bounce, 42)
@@ -272,13 +272,13 @@ def next_event(scene, p_vtx, is_vol, rd, aniso, scheme, t_seg,
     # equals f*Le*G*A in area measure (Quad.cpp:172-186); detaching the
     # whole weight severs d contrib/d p_vtx, which is the main channel for
     # crossing-position (IFT) hyperparameter gradients.
-    lk = scene.prims.kind[jnp.maximum(light, 0)]
+    lk = tlookup(scene.prims.kind, jnp.maximum(light, 0))
     is_area = ((lk == pr.PRIM_QUAD) | (lk == pr.PRIM_DISK)) & ~is_env
     q_l = jax.lax.stop_gradient(p_vtx + d1 * ldist[:, None])
     dv = q_l - p_vtx
     r2q = jnp.maximum(dot(dv, dv), 1e-12)
     d1n = dv / jnp.sqrt(r2q)[:, None]
-    n_l = jax.lax.stop_gradient(scene.prims.n[jnp.maximum(light, 0)])
+    n_l = jax.lax.stop_gradient(tlookup(scene.prims.n, jnp.maximum(light, 0)))
     G1 = jnp.abs(dot(n_l, d1n)) / r2q
     ratio1 = jnp.where(is_area, _reattach_ratio(G1), 1.0)
     d1 = jnp.where(is_area[:, None], d1n, d1)
@@ -625,7 +625,7 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None,
         g_normal = isect["normal"]
         backside = dot(g_normal, rd) > 0.0
         sh_normal = jnp.where(backside[:, None], -g_normal, g_normal)
-        bsdf_idx = scene.prims.bsdf[hit_prim]
+        bsdf_idx = tlookup(scene.prims.bsdf, hit_prim)
 
         if not scene.include_surfaces:
             pure_dirac = jax.vmap(
@@ -644,7 +644,7 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None,
         # emissive surface hit (handleSurface:592-595); primitives emit
         # from the front side only (Primitive::emission returns zero on
         # hitBackside — caught by golden parity vs the reference)
-        prim_em = scene.prims.emission[hit_prim]
+        prim_em = tlookup(scene.prims.emission, hit_prim)
         em_gate = surf_event & ~backside \
             & (jnp.max(prim_em, axis=-1) > 0.0) \
             & (bounce >= scene.min_bounces) \
@@ -686,7 +686,7 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None,
         normal_here = jnp.where(vol_event[:, None],
                                 safe_normalize(med_aniso), sh_normal)
         albedo_here = jnp.where(vol_event[:, None], med_weight,
-                                scene.bsdfs.albedo[bsdf_idx])
+                                tlookup(scene.bsdfs.albedo, bsdf_idx))
         vis_here = (jnp.sum(c, axis=-1) > 0.0).astype(jnp.float32)
         aov_depth = jnp.where(first_vtx, depth_here, carry["aov_depth"])
         aov_normal = jnp.where(first_vtx[:, None], normal_here,
@@ -766,8 +766,8 @@ def trace(scene: Scene, px, py, spp_idx, want_aovs=False, qmc=None,
                                  was_specular)
 
         geom_back = dot(wo_world, g_normal) < 0.0
-        int_m = scene.prims.int_medium[hit_prim]
-        ext_m = scene.prims.ext_medium[hit_prim]
+        int_m = tlookup(scene.prims.int_medium, hit_prim)
+        ext_m = tlookup(scene.prims.ext_medium, hit_prim)
         override = (int_m >= 0) | (ext_m >= 0)
         new_med = jnp.where(geom_back, int_m, ext_m)
         crossed = geom_back != (dot(-rd, g_normal) < 0.0)

@@ -35,7 +35,7 @@ from . import primitives as pr
 from .integrator import Scene, _EPS, _make_draw, _ray_key
 from .light_tracer import _light_key
 from ..utils.vecmath import (dot, frame_to_local, frame_to_world,
-                             oriented_frame, tangent_frame)
+                             oriented_frame, tangent_frame, tlookup)
 
 _INF = np.float32(3.0e38)
 
@@ -74,8 +74,8 @@ def trace_photons(scene: Scene, n_paths: int, spp_idx):
     # emission sampling — identical head to trace_light
     ul = draw(b0, 0)
     li_sel = jnp.minimum((ul * nl).astype(jnp.int32), nl - 1)
-    light = scene.lights[li_sel]
-    le = scene.prims.emission[light]
+    light = tlookup(scene.lights, li_sel)
+    le = tlookup(scene.prims.emission, light)
     p0, n0, pdf_a = jax.vmap(
         lambda l, a, b_: pr.sample_position(scene.prims, l, a, b_))(
         light, draw(b0, 1), draw(b0, 2))
@@ -88,7 +88,7 @@ def trace_photons(scene: Scene, n_paths: int, spp_idx):
     rd0 = jax.vmap(frame_to_world)(tg, bt, n0, local_d)
     # point lights emit uniformly over the sphere (Point::sampleDirection,
     # pdf 1/4pi) — NOT cosine about the dummy normal; power factor is 4pi
-    is_pt = scene.prims.kind[light] == pr.PRIM_POINT
+    is_pt = tlookup(scene.prims.kind, light) == pr.PRIM_POINT
     z_sph = 1.0 - 2.0 * u1
     r_sph = jnp.sqrt(jnp.maximum(1.0 - z_sph * z_sph, 0.0))
     d_sph = jnp.stack([r_sph * jnp.cos(phi), r_sph * jnp.sin(phi),
@@ -148,7 +148,7 @@ def trace_photons(scene: Scene, n_paths: int, spp_idx):
         backside = jax.vmap(dot)(g_normal, rd) > 0.0
         sh_normal = jnp.where(backside[:, None], -g_normal, g_normal)
         hit_prim = isect["prim"]
-        bsdf_idx = scene.prims.bsdf[hit_prim]
+        bsdf_idx = tlookup(scene.prims.bsdf, hit_prim)
         tfr, bfr = jax.vmap(oriented_frame)(sh_normal, isect["tangent"])
         wi_local = jax.vmap(frame_to_local)(tfr, bfr, sh_normal, -rd)
         p_vtx = jnp.where(vol_event[:, None], vol_p, hit_p)
@@ -196,8 +196,8 @@ def trace_photons(scene: Scene, n_paths: int, spp_idx):
         beta = beta * jnp.where(surf_scatter[:, None], s["weight"], 1.0)
 
         geom_back = jax.vmap(dot)(wo_world, g_normal) < 0.0
-        int_m = scene.prims.int_medium[hit_prim]
-        ext_m = scene.prims.ext_medium[hit_prim]
+        int_m = tlookup(scene.prims.int_medium, hit_prim)
+        ext_m = tlookup(scene.prims.ext_medium, hit_prim)
         override = (int_m >= 0) | (ext_m >= 0)
         new_med = jnp.where(geom_back, int_m, ext_m)
         crossed = geom_back != (jax.vmap(dot)(-rd, g_normal) < 0.0)
@@ -400,11 +400,11 @@ def _eye_vertices(scene: Scene, spp_idx, max_spec=4):
         backside = jax.vmap(dot)(g_normal, rd) > 0.0
         sh_normal = jnp.where(backside[:, None], -g_normal, g_normal)
         hit_prim = isect["prim"]
-        bsdf_idx = scene.prims.bsdf[hit_prim]
+        bsdf_idx = tlookup(scene.prims.bsdf, hit_prim)
 
         # directly-visible emission (through the specular chain only —
         # diffuse vertices terminate into the gather, so no double count)
-        le = scene.prims.emission[hit_prim]
+        le = tlookup(scene.prims.emission, hit_prim)
         emission = emission + jnp.where(
             (surf_event & ~backside)[:, None], beta * le, 0.0)
 
@@ -446,8 +446,8 @@ def _eye_vertices(scene: Scene, spp_idx, max_spec=4):
         beta = beta * jnp.where(cont[:, None], s["weight"], 1.0)
 
         geom_back = jax.vmap(dot)(wo_world, g_normal) < 0.0
-        int_m = scene.prims.int_medium[hit_prim]
-        ext_m = scene.prims.ext_medium[hit_prim]
+        int_m = tlookup(scene.prims.int_medium, hit_prim)
+        ext_m = tlookup(scene.prims.ext_medium, hit_prim)
         override = (int_m >= 0) | (ext_m >= 0)
         med_idx = jnp.where(cont & override,
                             jnp.where(geom_back, int_m, ext_m), med_idx)

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..utils.pytree import struct
 from ..utils.vecmath import (dot, frame_to_world, length, normalize,
-                             safe_normalize, tangent_frame)
+                             safe_normalize, tangent_frame, tlookup)
 from .mesh import (MeshSoA, build_mesh_soa, direct_pdf_mesh, empty_mesh,
                    mesh_intersect, sample_direct_mesh,
                    sample_position_mesh)
@@ -342,11 +342,16 @@ def intersect(soa: PrimitiveSoA, ro, rd, near, far):
 
     t = jnp.where((t > near) & (t < far), t, _INF)
     idx = jnp.argmin(t)
-    t_min = t[idx]
+    # winner extraction via one-hot contraction (tlookup): vmapped scalar
+    # gathers from the [P] tables lowered to ~8 ms/pass scalar loops
+    t_min = tlookup(t, idx)
+    nrm_w = tlookup(nrm, idx)
+    back_w = tlookup(back, idx)
     # preferred shading tangent for analytic prims: the cylinder axis
     # (world-space local +y = rot row 1), matching Cylinder::tangentSpace;
     # zero elsewhere (fiber frames then fall back to the Duff ONB)
     tg_prim = jnp.where(is_cy[:, None], soa.rot[:, 1, :], 0.0)
+    tg_w = tlookup(tg_prim, idx)
 
     if soa.mesh.has:
         mh = mesh_intersect(soa.mesh, ro, rd, near, far)
@@ -358,9 +363,9 @@ def intersect(soa: PrimitiveSoA, ro, rd, near, far):
                            jnp.where(t_min < _INF, t_min, far)),
             "prim": jnp.where(m_better, mh["prim"],
                               idx.astype(jnp.int32)),
-            "normal": jnp.where(m_better, mh["normal"], nrm[idx]),
-            "tangent": jnp.where(m_better, mh["tangent"], tg_prim[idx]),
-            "back_side": jnp.where(m_better, mh["back_side"], back[idx]),
+            "normal": jnp.where(m_better, mh["normal"], nrm_w),
+            "tangent": jnp.where(m_better, mh["tangent"], tg_w),
+            "back_side": jnp.where(m_better, mh["back_side"], back_w),
         }
 
     hit = t_min < _INF
@@ -368,9 +373,9 @@ def intersect(soa: PrimitiveSoA, ro, rd, near, far):
         "hit": hit,
         "t": jnp.where(hit, t_min, far),
         "prim": idx.astype(jnp.int32),
-        "normal": nrm[idx],
-        "tangent": tg_prim[idx],
-        "back_side": back[idx],
+        "normal": nrm_w,
+        "tangent": tg_w,
+        "back_side": back_w,
     }
 
 
@@ -384,26 +389,26 @@ def sample_direct(soa: PrimitiveSoA, li, p, u1, u2):
     Returns (d, dist, pdf_solid_angle, valid).  Quad area sampling with
     solid-angle conversion (Quad.cpp:172-186); sphere cap sampling
     (Sphere.cpp sampleDirect)."""
-    kind = soa.kind[li]
+    kind = tlookup(soa.kind, li)
 
     # quad
-    q = soa.p0[li] + u1 * soa.e0[li] + u2 * soa.e1[li]
+    q = tlookup(soa.p0, li) + u1 * tlookup(soa.e0, li) + u2 * tlookup(soa.e1, li)
     dq = q - p
     r_sq = jnp.maximum(dot(dq, dq), 1e-12)
     dist_q = jnp.sqrt(r_sq)
     dq = dq / dist_q
-    cos_q = -dot(soa.n[li], dq)
-    pdf_q = r_sq / (jnp.maximum(cos_q, 1e-6) * jnp.maximum(soa.area[li], 1e-12))
-    valid_q = (dot(soa.n[li], p - soa.p0[li]) > 0.0) & (cos_q > 1e-6)
+    cos_q = -dot(tlookup(soa.n, li), dq)
+    pdf_q = r_sq / (jnp.maximum(cos_q, 1e-6) * jnp.maximum(tlookup(soa.area, li), 1e-12))
+    valid_q = (dot(tlookup(soa.n, li), p - tlookup(soa.p0, li)) > 0.0) & (cos_q > 1e-6)
 
     # sphere: uniform cap.  For non-sphere lights this branch is masked out
     # but still computed — use a benign radius so its (co)tangents stay
     # finite (radius 0 drives the cap pdf singular).
     is_quad = (kind == PRIM_QUAD) | (kind == PRIM_DISK)
-    L = soa.p0[li] - p
+    L = tlookup(soa.p0, li) - p
     d2 = jnp.maximum(dot(L, L), 1e-12)
     dist_c = jnp.sqrt(d2)
-    r_eff = jnp.where(is_quad, 0.5 * dist_c, soa.radius[li])
+    r_eff = jnp.where(is_quad, 0.5 * dist_c, tlookup(soa.radius, li))
     C = d2 - r_eff**2
     cos_theta_max = jnp.sqrt(jnp.maximum(C, 1e-12)) / dist_c
     Ln = L / dist_c
@@ -436,15 +441,15 @@ def sample_direct(soa: PrimitiveSoA, li, p, u1, u2):
     # (Cylinder.cpp:185-201 — samplePosition + r^2/(cos*A)); consistent
     # with sample_position's side-only area pdf
     is_cyl = kind == PRIM_CYLINDER
-    hh_cy = soa.scale[li, 1]
-    r_cy = soa.radius[li]
+    hh_cy = tlookup(soa.scale, li)[1]
+    r_cy = tlookup(soa.radius, li)
     phi_cy = u2 * 2.0 * jnp.pi
     pcy_l = jnp.stack([r_cy * jnp.cos(phi_cy), (2.0 * u1 - 1.0) * hh_cy,
                        r_cy * jnp.sin(phi_cy)])
     ncy_l = jnp.stack([jnp.cos(phi_cy), 0.0 * phi_cy, jnp.sin(phi_cy)])
-    pcy = soa.p0[li] + jnp.einsum("ji,j->i", soa.rot[li], pcy_l,
+    pcy = tlookup(soa.p0, li) + jnp.einsum("ji,j->i", tlookup(soa.rot, li), pcy_l,
                                   precision="highest")
-    ncy = jnp.einsum("ji,j->i", soa.rot[li], ncy_l, precision="highest")
+    ncy = jnp.einsum("ji,j->i", tlookup(soa.rot, li), ncy_l, precision="highest")
     area_cy = jnp.maximum(2.0 * jnp.pi * r_cy * 2.0 * hh_cy, 1e-12)
     dcy = pcy - p
     r2_cy = jnp.maximum(dot(dcy, dcy), 1e-12)
@@ -459,7 +464,7 @@ def sample_direct(soa: PrimitiveSoA, li, p, u1, u2):
 
     if soa.mesh.has:
         dm, distm, pdfm, vm = sample_direct_mesh(
-            soa.mesh, li, soa.area[li], p, u1, u2)
+            soa.mesh, li, tlookup(soa.area, li), p, u1, u2)
         is_mesh = kind == PRIM_MESH
         d = jnp.where(is_mesh, dm, d)
         dist = jnp.where(is_mesh, distm, dist)
@@ -474,27 +479,27 @@ def sample_position(soa: PrimitiveSoA, li, u1, u2):
 
     Returns (p [3], n [3], pdf_area) — used by light-emitting integrators
     (light tracer / photon map / BDPT light subpaths)."""
-    kind = soa.kind[li]
-    inv_area = 1.0 / jnp.maximum(soa.area[li], 1e-12)
+    kind = tlookup(soa.kind, li)
+    inv_area = 1.0 / jnp.maximum(tlookup(soa.area, li), 1e-12)
 
     # quad
-    pq = soa.p0[li] + u1 * soa.e0[li] + u2 * soa.e1[li]
-    nq = soa.n[li]
+    pq = tlookup(soa.p0, li) + u1 * tlookup(soa.e0, li) + u2 * tlookup(soa.e1, li)
+    nq = tlookup(soa.n, li)
 
     # sphere: uniform over the full sphere
     z = 1.0 - 2.0 * u1
     r_xy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
     phi = 2.0 * jnp.pi * u2
     ns = jnp.stack([r_xy * jnp.cos(phi), r_xy * jnp.sin(phi), z])
-    ps = soa.p0[li] + soa.radius[li] * ns
+    ps = tlookup(soa.p0, li) + tlookup(soa.radius, li) * ns
 
     # disk: uniform over the disk in the (n) plane
-    tg, bt = tangent_frame(soa.n[li])
-    rd_ = soa.radius[li] * jnp.sqrt(jnp.maximum(u1, 0.0))
-    pd = soa.p0[li] + rd_ * (jnp.cos(phi) * tg + jnp.sin(phi) * bt)
+    tg, bt = tangent_frame(tlookup(soa.n, li))
+    rd_ = tlookup(soa.radius, li) * jnp.sqrt(jnp.maximum(u1, 0.0))
+    pd = tlookup(soa.p0, li) + rd_ * (jnp.cos(phi) * tg + jnp.sin(phi) * bt)
 
     # cube: pick a face by area, uniform point on it (Cube::samplePosition)
-    sc_ = jnp.maximum(soa.scale[li], 1e-12)  # half extents, local
+    sc_ = jnp.maximum(tlookup(soa.scale, li), 1e-12)  # half extents, local
     fa = jnp.stack([sc_[1] * sc_[2], sc_[2] * sc_[0], sc_[0] * sc_[1]])
     fa = fa / jnp.sum(fa)
     cdf = jnp.cumsum(fa)
@@ -508,20 +513,20 @@ def sample_position(soa: PrimitiveSoA, li, u1, u2):
     pl = pl.at[a2].set((2.0 * u2 - 1.0) * sc_[a2])
     nl = jnp.zeros(3).at[axis].set(sign)
     # rot is world->local; transpose back
-    pc = soa.p0[li] + jnp.einsum("ji,j->i", soa.rot[li], pl,
+    pc = tlookup(soa.p0, li) + jnp.einsum("ji,j->i", tlookup(soa.rot, li), pl,
                                  precision="highest")
-    ncb = jnp.einsum("ji,j->i", soa.rot[li], nl, precision="highest")
+    ncb = jnp.einsum("ji,j->i", tlookup(soa.rot, li), nl, precision="highest")
 
     # cylinder: uniform on the side surface (Cylinder.cpp:148-169 without
     # the cap branch; emission pdf uses the side area only)
-    hh_cy = soa.scale[li, 1]
-    r_cy = soa.radius[li]
+    hh_cy = tlookup(soa.scale, li)[1]
+    r_cy = tlookup(soa.radius, li)
     pcy_l = jnp.stack([r_cy * jnp.cos(phi), (2.0 * u1 - 1.0) * hh_cy,
                        r_cy * jnp.sin(phi)])
     ncy_l = jnp.stack([jnp.cos(phi), 0.0 * phi, jnp.sin(phi)])
-    pcy = soa.p0[li] + jnp.einsum("ji,j->i", soa.rot[li], pcy_l,
+    pcy = tlookup(soa.p0, li) + jnp.einsum("ji,j->i", tlookup(soa.rot, li), pcy_l,
                                   precision="highest")
-    ncy = jnp.einsum("ji,j->i", soa.rot[li], ncy_l, precision="highest")
+    ncy = jnp.einsum("ji,j->i", tlookup(soa.rot, li), ncy_l, precision="highest")
     inv_area_cy = 1.0 / jnp.maximum(
         2.0 * jnp.pi * r_cy * 2.0 * hh_cy, 1e-12)
 
@@ -532,7 +537,7 @@ def sample_position(soa: PrimitiveSoA, li, u1, u2):
     is_point = kind == PRIM_POINT
     p = jnp.where(is_sphere, ps,
                   jnp.where(is_disk, pd, jnp.where(is_cube, pc, pq)))
-    p = jnp.where(is_cyl, pcy, jnp.where(is_point, soa.p0[li], p))
+    p = jnp.where(is_cyl, pcy, jnp.where(is_point, tlookup(soa.p0, li), p))
     n = jnp.where(is_sphere, ns, jnp.where(is_cube, ncb, nq))
     n = jnp.where(is_cyl, ncy,
                   jnp.where(is_point, jnp.asarray([0.0, 1.0, 0.0]), n))
@@ -550,25 +555,25 @@ def direct_pdf(soa: PrimitiveSoA, li, p, w, t_hit, n_hit=None):
     """Solid-angle pdf of hitting light `li` from p along w at distance t_hit
     (Quad.cpp:216-223, Sphere.cpp directPdf, TriangleMesh.cpp:477-480).
     `n_hit` is the geometric normal at the hit (needed for mesh lights)."""
-    kind = soa.kind[li]
-    cos_theta = jnp.abs(dot(soa.n[li], w))
+    kind = tlookup(soa.kind, li)
+    cos_theta = jnp.abs(dot(tlookup(soa.n, li), w))
     pdf_q = t_hit * t_hit / (jnp.maximum(cos_theta, 1e-6)
-                             * jnp.maximum(soa.area[li], 1e-12))
+                             * jnp.maximum(tlookup(soa.area, li), 1e-12))
     is_quad = (kind == PRIM_QUAD) | (kind == PRIM_DISK)
-    L = soa.p0[li] - p
+    L = tlookup(soa.p0, li) - p
     d2 = jnp.maximum(dot(L, L), 1e-12)
-    r_eff = jnp.where(is_quad, 0.5 * jnp.sqrt(d2), soa.radius[li])
+    r_eff = jnp.where(is_quad, 0.5 * jnp.sqrt(d2), tlookup(soa.radius, li))
     cos_theta_max = jnp.sqrt(jnp.maximum((d2 - r_eff**2) / d2, 1e-12))
     pdf_s = 1.0 / (2.0 * jnp.pi * jnp.maximum(1.0 - cos_theta_max, 1e-8))
     pdf = jnp.where(is_quad, pdf_q, pdf_s)
     if n_hit is not None:
         # cylinder (Cylinder.cpp:230-234): t^2 / (|cos(n_hit, w)| * A_side)
-        a_cy = jnp.maximum(2.0 * jnp.pi * soa.radius[li]
-                           * 2.0 * soa.scale[li, 1], 1e-12)
+        a_cy = jnp.maximum(2.0 * jnp.pi * tlookup(soa.radius, li)
+                           * 2.0 * tlookup(soa.scale, li)[1], 1e-12)
         pdf_cy = t_hit * t_hit / (jnp.maximum(jnp.abs(dot(n_hit, w)), 1e-6)
                                   * a_cy)
         pdf = jnp.where(kind == PRIM_CYLINDER, pdf_cy, pdf)
     if soa.mesh.has and n_hit is not None:
         pdf = jnp.where(kind == PRIM_MESH,
-                        direct_pdf_mesh(soa.area[li], n_hit, w, t_hit), pdf)
+                        direct_pdf_mesh(tlookup(soa.area, li), n_hit, w, t_hit), pdf)
     return pdf

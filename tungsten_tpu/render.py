@@ -14,6 +14,7 @@ import os
 import time
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,7 +51,27 @@ def render(scene, spp, spp_start=0, film=None, progress=None, sharded=False,
             pass_fn = lambda s: jfn(scene, s,
                                     jnp.asarray(sobol_point(int(s))))
         else:
-            pass_fn = lambda s: jfn(scene, s)
+            # batch passes on device (lax.fori over render_pass with a
+            # donated accumulator) — erases the per-pass dispatch gap
+            # (~8 ms/pass measured, BENCH_NOTES.md).  On CPU the fori body
+            # re-traces render_pass per chunk step: keep chunk=1 there so
+            # the test tier doesn't pay a 4x compile
+            chunk = 4 if jax.default_backend() != "cpu" else 1
+
+            @partial(jax.jit, static_argnames=("n",), donate_argnums=(2,))
+            def run_chunk(s0, sc, acc, n):
+                def body(i, a):
+                    return a + render_pass(sc, s0 + i)
+                return jax.lax.fori_loop(0, n, body, acc)
+
+            s = spp_start
+            while s < spp_start + spp:
+                n = min(chunk, spp_start + spp - s)
+                film = run_chunk(jnp.int32(s), scene, film, n)
+                if progress:
+                    progress(s + n - 1, film)
+                s += n
+            return film
 
     for s in range(spp_start, spp_start + spp):
         film = film + pass_fn(jnp.int32(s))
