@@ -113,6 +113,20 @@ class Camera:
                 "py": jnp.clip(py, 0, self.res_y - 1),
                 "dir": d, "dist": dist, "we": we, "valid": valid}
 
+    def dir_pdf(self, w):
+        """Solid-angle pdf of emitting direction w from the lens
+        (PinholeCamera::sampleDirection pdf = _invPlaneArea / cos^3;
+        thinlens treated as pinhole at the lens center).  w [...,3] world."""
+        local = jnp.einsum("ji,...j->...i", self.transform[:3, :3], w,
+                           precision="highest")
+        cz = local[..., 2]
+        plane_dist = 1.0 / jnp.tan(jnp.deg2rad(self.fov_deg) * 0.5)
+        ratio = self.res_y / self.res_x
+        inv_plane_area = 1.0 / ((2.0 / plane_dist)
+                                * (2.0 * ratio / plane_dist))
+        return jnp.where(cz > 1e-6,
+                         inv_plane_area / jnp.maximum(cz, 1e-6) ** 3, 0.0)
+
     def sample_ray(self, px, py, u_filter, u_lens=None):
         """Ray for pixel (px, py) with sub-pixel jitter u_filter [2] in [0,1)
         (PinholeCamera::sampleDirection, PinholeCamera.cpp:70-86)."""
