@@ -307,15 +307,21 @@ def _light_head(scene, draw, b0, R):
 
 
 def trace_bdpt(scene: Scene, px, py, spp_idx, max_cam=4, max_light=3,
-               with_splats=False, film=None):
+               with_splats=False, film=None, pss_u=None, collect=None):
     """One BDPT sample per pixel; returns radiance [R,3] for the eye
     strategies, and (when with_splats) also splats the t=1 light-vertex
-    strategies into `film` (flat [H*W,3]) and returns (radiance, film)."""
+    strategies into `film` (flat [H*W,3]) and returns (radiance, film).
+
+    pss_u [R,D]: explicit primary-sample-space vector (MultiplexedMLT);
+    collect: optional list — each MIS-weighted strategy's
+    (rgb [R,3], px [R], py [R]) is appended (used by models/mmlt.py)."""
+    from .integrator import _make_pss_draw
     R = px.shape[0]
     key = trng.xxhash32_4(px.astype(jnp.uint32), py.astype(jnp.uint32),
                           jnp.uint32(spp_idx),
                           scene.scene_seed ^ jnp.uint32(0xBD9137A5))
-    draw = _make_draw(key, key, None)
+    draw = (_make_draw(key, key, None) if pss_u is None
+            else _make_pss_draw(pss_u, key))
     b0 = jnp.zeros(R, jnp.int32)
     pss = jnp.stack([px.astype(jnp.uint32), py.astype(jnp.uint32),
                      jnp.full(R, spp_idx, jnp.uint32),
@@ -333,8 +339,11 @@ def trace_bdpt(scene: Scene, px, py, spp_idx, max_cam=4, max_light=3,
                         scene.camera.dir_pdf(rd),
                         draw, 8, max_cam, med0, pss)
 
-    radiance = _gather_t0(scene, cam, max_cam, R)
-    radiance = radiance + _gather_env(scene, cam, max_cam, R, ro, rd)
+    r_t0 = _gather_t0(scene, cam, max_cam, R)
+    r_env = _gather_env(scene, cam, max_cam, R, ro, rd)
+    radiance = r_t0 + r_env
+    if collect is not None:
+        collect.append((r_t0 + r_env, px, py))
 
     nl = scene.lights.shape[0]
     if nl == 0:
@@ -441,11 +450,17 @@ def trace_bdpt(scene: Scene, px, py, spp_idx, max_cam=4, max_light=3,
                              vc["med"], state, pss,
                              draw(b0, 50), ok)
             vis_ok = jnp.max(tr, axis=-1) > 0.0
-            radiance = radiance + jnp.where(
-                (ok & vis_ok)[:, None], contrib * tr * mis[:, None], 0.0)
+            r_st = jnp.where((ok & vis_ok)[:, None],
+                             contrib * tr * mis[:, None], 0.0)
+            r_st = jnp.where(jnp.isfinite(r_st), r_st, 0.0)
+            radiance = radiance + r_st
+            if collect is not None:
+                collect.append((r_st, px, py))
 
     radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
 
+    if collect is None and not with_splats:
+        return radiance
     if not with_splats:
         return radiance
 
@@ -501,6 +516,11 @@ def trace_bdpt(scene: Scene, px, py, spp_idx, max_cam=4, max_light=3,
         contrib = jnp.where(
             (ok & (jnp.max(tr, axis=-1) > 0.0))[:, None], contrib, 0.0)
         contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
+        if collect is not None:
+            # splat strategies land on their own pixel; the 1/R light-path
+            # normalization is the caller's concern for film accumulation,
+            # while MLT treats each strategy contribution per chain
+            collect.append((contrib, c["px"], c["py"]))
         flat = c["py"] * cameye.res_x + c["px"]
         film = film.at[flat].add(contrib)
 

@@ -316,12 +316,20 @@ def parse_cov(c: dict):
                 data, gdoc.get("bounds_min", (0, 0, 0)),
                 gdoc.get("bounds_max", (1, 1, 1)))
         elif isinstance(gdoc, str):
+            if gdoc.endswith(".vdb"):
+                raise ValueError(
+                    f"{gdoc}: raw .vdb files are densified offline — run "
+                    "python -m tungsten_tpu.tools.vdb2npz first "
+                    "(GPVdbGrid.hpp:16-55 analog; the renderer consumes "
+                    "the dense .npz)")
             arr = np.load(gdoc if os.path.isabs(gdoc)
                           else os.path.join(c.get("__dir__", "."), gdoc))
             if hasattr(arr, "files"):
                 data = arr["data"] * scale + offset
-                bmin = arr.get("bounds_min", np.zeros(3))
-                bmax = arr.get("bounds_max", np.ones(3))
+                bmin = (arr["bounds_min"] if "bounds_min" in arr.files
+                        else np.zeros(3))
+                bmax = (arr["bounds_max"] if "bounds_max" in arr.files
+                        else np.ones(3))
             else:
                 data = arr * scale + offset
                 bmin, bmax = np.zeros(3), np.ones(3)
