@@ -72,7 +72,8 @@ def _walk_subpath(scene, ro, rd, beta0, pdf_dir0, draw, base_slot, S,
     R = ro.shape[0]
     out = {k: [] for k in ("p", "n", "wi", "beta", "bsdf", "delta",
                            "pdf_fwd", "pdf_rev", "emission", "valid",
-                           "prim", "is_med", "med")}
+                           "prim", "is_med", "med", "tg",
+                           "esc", "esc_dir", "esc_beta")}
 
     beta = beta0
     active = jnp.ones(R, bool)
@@ -95,7 +96,10 @@ def _walk_subpath(scene, ro, rd, beta0, pdf_dir0, draw, base_slot, S,
         vol_event = jnp.zeros(R, bool)
         med_t = far
         med_weight = jnp.ones((R, 3))
-        med_aniso = jnp.zeros((R, 3)).at[:, 0].set(1.0)
+        # carry the GP-gradient anisotropy like the unidirectional tracer
+        # (integrator.py media loop): brdf-phase media shade around the
+        # realization gradient, not a constant axis (ADVICE r3 high)
+        med_aniso = med_state.last_aniso
         for mi, medium in enumerate(scene.media):
             in_m = active & (med_idx == mi)
             res, st_new = md.sample_distance(
@@ -104,6 +108,7 @@ def _walk_subpath(scene, ro, rd, beta0, pdf_dir0, draw, base_slot, S,
             med_state = md._select(in_m, st_new, med_state)
             vol_event = vol_event | (in_m & ~res["exited"] & ~res["failed"])
             med_t = jnp.where(in_m & ~res["exited"], res["t"], med_t)
+            med_aniso = jnp.where(in_m[:, None], res["aniso"], med_aniso)
             med_weight = jnp.where(in_m[:, None], res["weight"], med_weight)
             active = active & ~(in_m & res["failed"])
 
@@ -111,6 +116,15 @@ def _walk_subpath(scene, ro, rd, beta0, pdf_dir0, draw, base_slot, S,
 
         surf_event = active & did_hit & ~vol_event
         vtx_ok = active & (surf_event | vol_event)
+        # env escape at THIS depth: still active (not failed), missed all
+        # geometry, no volume event.  Recorded per step so _gather_env can
+        # accumulate beta-weighted env radiance at every bounce, not just
+        # the primary ray (ADVICE r3 medium).  Such lanes produce no vertex
+        # and go inactive below, so each lane escapes at most once.
+        escaped = active & ~did_hit & ~vol_event
+        out["esc"].append(escaped)
+        out["esc_dir"].append(rd)
+        out["esc_beta"].append(beta)
 
         med_t_safe = jnp.where(vol_event, med_t, 0.0)
         p_surf = ro + jnp.where(did_hit, isect["t"], 0.0)[:, None] * rd
@@ -140,6 +154,11 @@ def _walk_subpath(scene, ro, rd, beta0, pdf_dir0, draw, base_slot, S,
         out["emission"].append(jnp.where(vtx_ok[:, None], em, 0.0))
         out["valid"].append(vtx_ok)
         out["prim"].append(isect["prim"])
+        # vertex tangent: the same preferred direction subpath sampling
+        # uses for oriented_frame, so connection-time eval/pdf happen in
+        # the frame the pdfs were sampled in (ADVICE r3: fiber BCSDFs are
+        # azimuth-dependent)
+        out["tg"].append(isect["tangent"])
 
         # ---- scatter: bsdf at surfaces, phase at medium vertices ---------
         tfr, bfr = jax.vmap(oriented_frame)(n, isect["tangent"])
@@ -217,10 +236,18 @@ def _walk_subpath(scene, ro, rd, beta0, pdf_dir0, draw, base_slot, S,
     return {k: jnp.stack(v, axis=1) for k, v in out.items()}
 
 
+def _vertex_frame(v):
+    """Shading frame at a stored vertex — MUST match the frame subpath
+    sampling used (oriented_frame with the stored tangent), or connection
+    f/pdf and pdf_rev for azimuth-dependent BCSDFs disagree with the
+    sampled densities."""
+    return jax.vmap(oriented_frame)(v["n"], v["tg"])
+
+
 def _eval_at(scene, v, w_out, R):
     """f(wi->w_out) (x|cos| for surfaces) and directional pdf at a stored
     vertex (surface bsdf or medium phase)."""
-    tfr, bfr = jax.vmap(tangent_frame)(v["n"])
+    tfr, bfr = _vertex_frame(v)
     wi_l = jax.vmap(frame_to_local)(tfr, bfr, v["n"], v["wi"])
     wo_l = jax.vmap(frame_to_local)(tfr, bfr, v["n"], w_out)
     bi = jnp.maximum(v["bsdf"], 0)
@@ -366,6 +393,10 @@ def trace_bdpt(scene: Scene, px, py, spp_idx, max_cam=4, max_light=3,
         "emission": le[:, None],
         "valid": jnp.ones((R, 1), bool),
         "prim": li[:, None],
+        "tg": jnp.zeros((R, 1, 3)),
+        "esc": jnp.zeros((R, 1), bool),
+        "esc_dir": jnp.zeros((R, 1, 3)),
+        "esc_beta": jnp.zeros((R, 1, 3)),
     }
     lt = {k: jnp.concatenate([lt0[k], lt[k]], axis=1) for k in lt0}
 
@@ -399,7 +430,7 @@ def trace_bdpt(scene: Scene, px, py, spp_idx, max_cam=4, max_light=3,
 
             pd_cam_end_rev = _dir_pdf_to_meas(pdf_l_dir, vl["p"], vc["p"],
                                               vc["n"], vc["is_med"])
-            tfrc, bfrc = jax.vmap(tangent_frame)(vc["n"])
+            tfrc, bfrc = _vertex_frame(vc)
             w_l = jax.vmap(frame_to_local)(tfrc, bfrc, vc["n"], w)
             wi_lc = jax.vmap(frame_to_local)(tfrc, bfrc, vc["n"], vc["wi"])
             pdf_back = jax.vmap(lambda i, a, b_: bs.pdf_bsdf(
@@ -419,7 +450,7 @@ def trace_bdpt(scene: Scene, px, py, spp_idx, max_cam=4, max_light=3,
             pd_lt_end_rev = _dir_pdf_to_meas(pdf_c_dir, vc["p"], vl["p"],
                                              vl["n"], vl["is_med"])
             if t >= 2:
-                tfrl, bfrl = jax.vmap(tangent_frame)(vl["n"])
+                tfrl, bfrl = _vertex_frame(vl)
                 wl_l = jax.vmap(frame_to_local)(tfrl, bfrl, vl["n"], -w)
                 wi_ll = jax.vmap(frame_to_local)(tfrl, bfrl, vl["n"],
                                                  vl["wi"])
@@ -484,7 +515,7 @@ def trace_bdpt(scene: Scene, px, py, spp_idx, max_cam=4, max_light=3,
         pd_lt_end_rev = _dir_pdf_to_meas(pdf_cam_dir, cameye.pos, vl["p"],
                                          vl["n"], vl["is_med"])
         if t >= 2:
-            tfrl, bfrl = jax.vmap(tangent_frame)(vl["n"])
+            tfrl, bfrl = _vertex_frame(vl)
             wl_l = jax.vmap(frame_to_local)(tfrl, bfrl, vl["n"], to_cam)
             wi_ll = jax.vmap(frame_to_local)(tfrl, bfrl, vl["n"], vl["wi"])
             pdf_back_l = jax.vmap(lambda i, a, b_: bs.pdf_bsdf(
@@ -529,22 +560,23 @@ def trace_bdpt(scene: Scene, px, py, spp_idx, max_cam=4, max_light=3,
 
 def _gather_env(scene, cam, max_cam, R, ro0, rd0):
     """Env-escaped camera subpaths (TraceBase::handleInfiniteLights analog).
+    The subpath walk records a per-depth escape event (active lane, no hit,
+    no volume event — failed medium lanes excluded) with the escape
+    direction and the beta INTO the escape (medium transmittance included),
+    so env light reached after any number of bounces contributes
+    (ADVICE r3 medium: the r3 version only credited primary-ray escapes).
     The environment is reachable by exactly one strategy in this BDPT
     (no env connections / env-emitted subpaths), so the weight is 1."""
     if scene.env.kind == ev.ENV_NONE:
         return jnp.zeros((R, 3))
     radiance = jnp.zeros((R, 3))
-    # escape after k stored vertices: the ray leaving vertex k misses.
-    # Reconstruct from validity: vertex k valid but k+1 invalid; the escape
-    # direction is -wi of a virtual next vertex — recover from stored wi of
-    # vertex k+1 when invalid is due to miss.  Simplest robust form: re-walk
-    # directions are not stored, so use the camera ray for k=0 and the
-    # bounce chain breaks for k>0 — handled by storing nothing extra: the
-    # dominant env term (direct view) uses rd0; deeper escapes ride with
-    # the (s,t) strategies via the path tracer in production scenes.
-    v0_valid = cam["valid"][:, 0]
-    env_rad = jax.vmap(lambda w: ev.env_eval(scene.env, w))(rd0)
-    radiance = radiance + jnp.where((~v0_valid)[:, None], env_rad, 0.0)
+    S = cam["esc"].shape[1]
+    for k in range(S):
+        env_rad = jax.vmap(lambda w: ev.env_eval(scene.env, w))(
+            cam["esc_dir"][:, k])
+        radiance = radiance + jnp.where(
+            cam["esc"][:, k][:, None],
+            cam["esc_beta"][:, k] * env_rad, 0.0)
     return radiance
 
 

@@ -55,7 +55,11 @@ def _strategies(scene, u, spp_idx, max_cam, max_light):
     # n_pix so every strategy is in the same per-pixel-average units
     # (trace_bdpt's own film applies the same 1/(H*W) light-path norm)
     n_pix = jnp.float32(cam.res_y * cam.res_x)
-    ns_splat = len(coll) - max_light
+    # light-less scenes: trace_bdpt returns after the single t0/env entry —
+    # no connection or splat strategies exist (ADVICE r3: ns mismatch
+    # shape-errored instead of rendering the env-only image)
+    ns_splat = len(coll) - (max_light if int(scene.lights.shape[0]) > 0
+                            else 0)
     rgb = jnp.stack(
         [jnp.where(jnp.isfinite(c[0]), c[0], 0.0)
          / (n_pix if i >= ns_splat else 1.0)
@@ -91,7 +95,10 @@ def render_pass_mmlt(scene: Scene, spp_idx, n_chains=2048, n_mutations=24,
     # round by total luminance, then the strategy within the winning path
     # (the exact joint target MultiplexedMltTracer's per-(s,t) chains seed
     # from, LargeStepTracker + startSampleChain)
-    ns = 1 + max_cam * max_light + max_light  # t0/env + connections + splats
+    # t0/env + connections + splats; light-less scenes only ever produce
+    # the single t0/env strategy (trace_bdpt early-returns)
+    ns = (1 + max_cam * max_light + max_light
+          if int(scene.lights.shape[0]) > 0 else 1)
 
     def boot(_, i):
         u_i = fresh(jnp.uint32(1) + i.astype(jnp.uint32))

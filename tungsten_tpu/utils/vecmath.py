@@ -119,7 +119,26 @@ def tlookup(table, idx):
     one-hot contraction.  On TPU, per-lane dynamic gathers lower to scalar
     loops (~0.05 GB/s measured); for P <= a few dozen rows the arithmetic
     select fuses into neighbors for free.  Works batched (idx [...]) and
-    for any table rank >= 1 / dtype (bool goes through any())."""
+    for any table rank >= 1 / dtype (bool goes through any()).
+
+    On CPU the one-hot expansion is a pessimization: XLA:CPU compiles the
+    ~150 expanded contraction sites pathologically slowly (minutes per op
+    — the r3 driver multichip dryrun timed out at 506s of pure compile),
+    while its native gather is fine.  The scalar-gather pathology is
+    TPU-only, so fall back to take() when tracing for CPU."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        # preserve the one-hot contract: out-of-range idx (e.g. the -1
+        # "no bsdf" sentinel) yields zeros, not a clipped row
+        P = table.shape[0]
+        idx = jnp.asarray(idx, jnp.int32)
+        ok = (idx >= 0) & (idx < P)
+        out = jnp.take(table, jnp.clip(idx, 0, P - 1), axis=0)
+        okx = ok.reshape(ok.shape + (1,) * (table.ndim - 1))
+        if table.dtype == jnp.bool_:
+            return out & okx
+        return jnp.where(okx, out, 0)
     P = table.shape[0]
     idx = jnp.asarray(idx, jnp.int32)
     oh = idx[..., None] == jnp.arange(P, dtype=jnp.int32)  # [..., P]
