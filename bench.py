@@ -60,11 +60,52 @@ def main():
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
     baseline = None
+    hero_baseline = None
     if os.path.exists(base_path):
         with open(base_path) as f:
-            baseline = json.load(f).get("ksamples_per_s")
+            doc = json.load(f)
+        baseline = doc.get("ksamples_per_s")
+        hero_baseline = doc.get("hero_ksamples_per_s")
     if baseline is None:
         baseline = 0.35  # reference-class single-thread CPU marcher estimate
+
+    # ---- BASELINE config 5 (hero): multi-res + nonstationary + global ----
+    # rendered through the same jitted pass at a 16:9 slice of the 1080p
+    # frame; reported as a secondary line (the driver records the LAST
+    # line as the primary metric)
+    if not os.environ.get("BENCH_SKIP_HERO"):
+        try:
+            from tungsten_tpu.scene.parse import load_scene
+            hero_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scenes",
+                "gpis-hero.json")
+            hres = (192, 108)
+            hscene, _ = load_scene(hero_path, res_override=hres)
+            import dataclasses
+            hscene = dataclasses.replace(hscene, max_bounces=2)
+            fh = jax.jit(render_pass)
+            fh(hscene, jnp.int32(0)).block_until_ready()  # compile
+            n_h = 4
+            t0 = time.time()
+            acch = None
+            for s in range(n_h):
+                a = fh(hscene, jnp.int32(s + 1))
+                acch = a if acch is None else acch + a
+            acch.block_until_ready()
+            dt_h = time.time() - t0
+            ksps_h = hres[0] * hres[1] * n_h / dt_h / 1e3
+            line = {
+                "metric": "gpis_hero_ksamples_per_s",
+                "value": round(ksps_h, 3),
+                "unit": "Ksamples/s",
+            }
+            if hero_baseline:
+                line["vs_baseline"] = round(ksps_h / hero_baseline, 2)
+            print(json.dumps(line), flush=True)
+        except Exception as e:  # hero must never break the primary metric
+            print(json.dumps({"metric": "gpis_hero_ksamples_per_s",
+                              "error": str(e)[:200]}), flush=True)
+
     print(json.dumps({
         "metric": "gpis_render_ksamples_per_s",
         "value": round(ksps, 3),

@@ -15,7 +15,7 @@ import sys
 REF = "/tmp/refbuild/build/tungsten"
 SCENES = ["gpis-sphere-box", "gpis-mirror-1d", "gpis-mirror-1d-corrxy",
           "gpis-weight-space", "gpis-function-space", "gpis-ensemble",
-          "gpis-hero"]
+          "gpis-hero", "gpis-csg"]
 SPP = int(os.environ.get("GOLDEN_SPP", "256"))
 RES = int(os.environ.get("GOLDEN_RES", "64"))
 

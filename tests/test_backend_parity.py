@@ -15,6 +15,10 @@ from tungsten_tpu.models.integrator import render_pass
 from tungsten_tpu.scene.parse import scene_from_dict
 
 
+
+# compile-heavy integrator suite: mid tier (default run stays <15 min)
+pytestmark = pytest.mark.mid
+
 def _scene(kind, res=12):
     path = os.path.join(os.path.dirname(__file__), "..", "scenes",
                         "gpis-sphere-box.json")

@@ -2,12 +2,17 @@
 (VERDICT r1 next-round #9; reference integrators/bidirectional_path_tracer).
 """
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from tungsten_tpu.models.bdpt import render_pass_bdpt
 from tungsten_tpu.models.integrator import render_pass
 from tungsten_tpu.scene.parse import scene_from_dict
+
+
+# compile-heavy integrator suite: mid tier (default run stays <15 min)
+pytestmark = pytest.mark.mid
 
 _BOX = {
     "bsdfs": [

@@ -12,6 +12,10 @@ from tungsten_tpu.models import media as md
 from tungsten_tpu.ops import sparse_conv as sc
 
 
+
+# compile-heavy integrator suite: mid tier (default run stays <15 min)
+pytestmark = pytest.mark.mid
+
 def _medium(kind, sigma_a, sigma_s, **kw):
     from tungsten_tpu.scene.parse import parse_gp
     cfg = sc.SparseConvConfig.create()

@@ -106,6 +106,13 @@ def test_golden_ensemble():
 
 
 @pytest.mark.heavy
+def test_golden_csg():
+    """Two-GP CSG union (per-child covariance + id dispatch) vs the
+    reference's GPRealNodeCsg function-space rendering."""
+    _compare("gpis-csg", spp_ours=48)
+
+
+@pytest.mark.heavy
 def test_golden_hero():
     """BASELINE config 5: multi-res + nonstationary hero scene
     (VERDICT r3 missing #3 — the committed golden was never compared

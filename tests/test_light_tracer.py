@@ -10,6 +10,10 @@ from tungsten_tpu.models.integrator import render_pass
 from tungsten_tpu.models.light_tracer import render_pass_lt, trace_light
 from tungsten_tpu.scene.parse import scene_from_dict
 
+
+# compile-heavy integrator suite: mid tier (default run stays <15 min)
+pytestmark = pytest.mark.mid
+
 _BOX = {
     "bsdfs": [
         {"name": "white", "albedo": 0.7, "type": "lambert"},

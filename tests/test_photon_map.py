@@ -11,6 +11,10 @@ from tungsten_tpu.models.photon_map import (render_pass_pm, render_ppm,
                                             trace_photons)
 from tungsten_tpu.scene.parse import scene_from_dict
 
+
+# compile-heavy integrator suite: mid tier (default run stays <15 min)
+pytestmark = pytest.mark.mid
+
 _BOX = {
     "bsdfs": [
         {"name": "white", "albedo": 0.7, "type": "lambert"},

@@ -943,3 +943,108 @@ def sample_bsdf(table, bi, wi, u):
         v = jnp.where((k == SMOOTH_COAT) | (k == ROUGH_COAT), s_coat[key], v)
         out[key] = v
     return out
+
+
+# ---------------------------------------------------------------------------
+# PSS inversion (ReversibleJumpMLT): given (wi, wo), recover the uniform
+# slots u[5] whose sample_bsdf(u) reproduces wo.  Mirrors the reference's
+# per-Bsdf invert() family (LambertBsdf.cpp:49-60, DielectricBsdf.cpp:110-146,
+# MirrorBsdf.cpp:82-90, PlasticBsdf/DiffuseTransmissionBsdf/ThinSheetBsdf).
+# Discrete branch choices fill their accepting sub-interval with a fresh
+# uniform (the reference's putBoolean/putDiscrete + untracked1D).
+# Unsupported kinds (rough microfacet, fiber, nested) return ok=False — the
+# RJ strategy jump is then rejected, which keeps the chain a valid MCMC
+# (both directions fail symmetrically).
+# ---------------------------------------------------------------------------
+
+def _invert_cosine_hemisphere(wo):
+    """(u_phi, u_r2) with cosine_hemisphere(u_phi, u_r2) == wo (z>0 side;
+    callers pass |z|).  SampleWarp::invertCosineHemisphere analog."""
+    phi = jnp.arctan2(wo[..., 1], wo[..., 0])
+    u0 = jnp.mod(phi / (2.0 * jnp.pi), 1.0)
+    u1 = jnp.clip(wo[..., 0] ** 2 + wo[..., 1] ** 2, 0.0, 1.0 - 1e-7)
+    return u0, u1
+
+
+def _mirror_match(wi, wo, tol=1e-3):
+    m = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
+    return jnp.max(jnp.abs(wo - m), axis=-1) < tol
+
+
+def invert_bsdf(table, bi, wi, wo, ur):
+    """u[5], ok: PSS slots reproducing wo from sample_bsdf(table, bi, wi, u).
+
+    ur [5]: fresh uniforms for unconstrained slots / accepting intervals."""
+    k = tlookup(table.kind, bi)
+    czi = wi[..., 2]
+    czo = wo[..., 2]
+    u = jnp.stack([ur[..., 0], ur[..., 1], ur[..., 2], ur[..., 3],
+                   ur[..., 4]], axis=-1)
+
+    ok = jnp.zeros(jnp.shape(czi), bool)
+
+    # diffuse reflection family: cosine hemisphere in u[0:2]
+    c0, c1 = _invert_cosine_hemisphere(
+        jnp.stack([wo[..., 0], wo[..., 1], jnp.abs(czo)], axis=-1))
+    is_diff = (k == LAMBERT) | (k == OREN_NAYAR)
+    ok = jnp.where(is_diff, (czi > 0.0) & (czo > 0.0), ok)
+    u = u.at[..., 0].set(jnp.where(is_diff, c0, u[..., 0]))
+    u = u.at[..., 1].set(jnp.where(is_diff, c1, u[..., 1]))
+
+    # deterministic mirrors
+    mm = _mirror_match(wi, wo)
+    is_mirror = (k == MIRROR) | (k == CONDUCTOR)
+    ok = jnp.where(is_mirror, mm, ok)
+
+    # forward / null passthrough
+    fwd = jnp.max(jnp.abs(wo + wi), axis=-1) < 1e-3
+    ok = jnp.where(k == FORWARD, fwd, ok)
+
+    # dielectric: branch choice in u[2]
+    ior = tlookup(table.ior, bi)
+    eta_rel = jnp.where(czi < 0.0, ior, 1.0 / ior)
+    F_d, cos_t = dielectric_fresnel(eta_rel, jnp.abs(czi))
+    refr_dir = jnp.stack([-wi[..., 0] * eta_rel, -wi[..., 1] * eta_rel,
+                          -jnp.sign(czi) * cos_t], axis=-1)
+    rm = jnp.max(jnp.abs(wo - refr_dir), axis=-1) < 1e-3
+    en_r = tlookup(table.enable_refraction, bi)
+    is_di = k == DIELECTRIC
+    di_refl = mm
+    di_refr = rm & en_r & (F_d < 1.0 - 1e-6)
+    u2_di = jnp.where(di_refl, F_d * ur[..., 2],
+                      F_d + (1.0 - F_d) * ur[..., 2])
+    ok = jnp.where(is_di, di_refl | di_refr, ok)
+    u = u.at[..., 2].set(jnp.where(is_di, u2_di, u[..., 2]))
+
+    # smooth plastic: Fresnel-choice spec mirror vs cosine diffuse
+    F_i, _ = dielectric_fresnel(1.0 / ior, jnp.abs(czi))
+    is_pl = k == PLASTIC
+    pl_spec = mm
+    pl_diff = (czo > 0.0) & ~mm
+    u2_pl = jnp.where(pl_spec, F_i * ur[..., 2],
+                      F_i + (1.0 - F_i) * ur[..., 2])
+    ok = jnp.where(is_pl, (czi > 0.0) & (pl_spec | pl_diff), ok)
+    u = u.at[..., 2].set(jnp.where(is_pl, u2_pl, u[..., 2]))
+    u = u.at[..., 0].set(jnp.where(is_pl & pl_diff, c0, u[..., 0]))
+    u = u.at[..., 1].set(jnp.where(is_pl & pl_diff, c1, u[..., 1]))
+
+    # thin sheet: mirror w.p. R_tot else pass-through
+    F_ts, _ = dielectric_fresnel(1.0 / ior, jnp.abs(czi))
+    R_tot = 2.0 * F_ts / (1.0 + F_ts)
+    is_ts = k == THIN_SHEET
+    u2_ts = jnp.where(mm, R_tot * ur[..., 2],
+                      R_tot + (1.0 - R_tot) * ur[..., 2])
+    ok = jnp.where(is_ts, mm | fwd, ok)
+    u = u.at[..., 2].set(jnp.where(is_ts, u2_ts, u[..., 2]))
+
+    # diffuse transmission: side choice in u[2], cosine lobe in u[0:2]
+    T = jnp.clip(tlookup(table.p0, bi), 0.0, 1.0)
+    is_dt = k == DIFFUSE_TRANSMISSION
+    dt_trans = czo * jnp.sign(jnp.where(czi == 0, 1.0, czi)) < 0.0
+    u2_dt = jnp.where(dt_trans, T * ur[..., 2], T + (1.0 - T) * ur[..., 2])
+    ok = jnp.where(is_dt, jnp.abs(czo) > 1e-6, ok)
+    u = u.at[..., 2].set(jnp.where(is_dt, u2_dt, u[..., 2]))
+    u = u.at[..., 0].set(jnp.where(is_dt, c0, u[..., 0]))
+    u = u.at[..., 1].set(jnp.where(is_dt, c1, u[..., 1]))
+
+    return u, ok

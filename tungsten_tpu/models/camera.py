@@ -127,6 +127,35 @@ class Camera:
         return jnp.where(cz > 1e-6,
                          inv_plane_area / jnp.maximum(cz, 1e-6) ** 3, 0.0)
 
+    def invert_ray(self, rd):
+        """(px, py, u_filter[2], ok): pixel + sub-pixel jitter such that
+        sample_ray(px, py, u_filter) emits direction rd (ReversibleJumpMLT
+        camera-root inversion; PathVertex::invertRootVertex camera branch).
+        Pinhole/box-filter only; other kinds return ok=False."""
+        local = jnp.einsum("ji,...j->...i", self.transform[:3, :3], rd,
+                           precision="highest")
+        lz = local[..., 2]
+        ok = lz > 1e-6
+        lz_safe = jnp.where(ok, lz, 1.0)
+        plane_dist = 1.0 / jnp.tan(jnp.deg2rad(self.fov_deg) * 0.5)
+        ratio = self.res_y / self.res_x
+        xp = local[..., 0] / lz_safe * plane_dist
+        yp = local[..., 1] / lz_safe * plane_dist
+        pxf = (xp + 1.0) * (self.res_x * 0.5)
+        pyf = (ratio - yp) * (self.res_x * 0.5)
+        px = jnp.floor(pxf).astype(jnp.int32)
+        py = jnp.floor(pyf).astype(jnp.int32)
+        ok = ok & (px >= 0) & (px < self.res_x) \
+            & (py >= 0) & (py < self.res_y)
+        # box filter: offset = u - 0.5, pixel center +0.5 -> u = frac
+        uf = jnp.stack([pxf - px.astype(jnp.float32),
+                        pyf - py.astype(jnp.float32)], axis=-1)
+        if self.kind != "pinhole" or self.filter_kind != FILTER_BOX:
+            ok = ok & False
+        return (jnp.clip(px, 0, self.res_x - 1),
+                jnp.clip(py, 0, self.res_y - 1),
+                jnp.clip(uf, 0.0, 1.0 - 1e-6), ok)
+
     def sample_ray(self, px, py, u_filter, u_lens=None):
         """Ray for pixel (px, py) with sub-pixel jitter u_filter [2] in [0,1)
         (PinholeCamera::sampleDirection, PinholeCamera.cpp:70-86)."""

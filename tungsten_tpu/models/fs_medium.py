@@ -29,10 +29,16 @@ D_NONE = gpmod.D_NONE
 D_FIRST = gpmod.D_FIRST
 
 
-def _chunk_key(pss, scene_seed, chunk):
+def _chunk_key(pss, scene_seed, chunk, salt=0):
     pss = pss.astype(jnp.uint32)
-    return (trng.xxhash32_4(pss[0], pss[1], pss[2], pss[3])
-            + trng.xxhash32(scene_seed) + trng.xxhash32(chunk))
+    k = (trng.xxhash32_4(pss[0], pss[1], pss[2], pss[3])
+         + trng.xxhash32(scene_seed) + trng.xxhash32(chunk))
+    if salt:
+        # disjoint stream per CSG child: the two children's realizations
+        # are INDEPENDENT GPs (GPSampleNodeCSG::sample samples each child
+        # with its own draw, GaussianProcess.hpp:206-215)
+        k = k ^ jnp.uint32(salt)
+    return k
 
 
 _FAR_ROW = 1.0e5  # masked conditioning rows move here (zero covariance)
@@ -40,7 +46,7 @@ _FAR_ROW = 1.0e5  # masked conditioning rows move here (zero covariance)
 
 def _sample_chunk(med, scene_seed, ro_seg, rd, t0, dt, n, carry_val,
                   carry_grad, have_carry, pss, chunk_idx, u_offset,
-                  ring=None):
+                  ring=None, gp=None, salt=0):
     """Draw one conditioned realization over n points starting at t0.
 
     carry: (value, directional derivative) at t0 from the previous chunk
@@ -50,7 +56,7 @@ def _sample_chunk(med, scene_seed, ro_seg, rd, t0, dt, n, carry_val,
     GaussianProcess.cpp:165-168).
     Returns (ts[n], values[n], ids[n]).
     """
-    gp = med.gp
+    gp = med.gp if gp is None else gp
     cov_fn = gpmod.make_cov_fn(gp)
     ctxt = med.cfg.ctxt
 
@@ -63,7 +69,7 @@ def _sample_chunk(med, scene_seed, ro_seg, rd, t0, dt, n, carry_val,
     dts = jnp.full(n, D_NONE, jnp.int32)
     dirs = jnp.broadcast_to(rd, (n, 3))
 
-    key = _chunk_key(pss, scene_seed, chunk_idx)
+    key = _chunk_key(pss, scene_seed, chunk_idx, salt)
 
     p0 = ro_seg + t0 * rd
     if ctxt == sc.CTXT_GLOBAL and ring is not None:
@@ -146,7 +152,7 @@ def _find_crossing(ts, vals, skip_first):
 
 
 def _sample_grad_at(med, scene_seed, ro_seg, rd, ts, vals, cross_idx, t_cross,
-                    off, crossed, pss):
+                    off, crossed, pss, gp=None, salt=0):
     """Conditioned 3D gradient at the segment end (sampleGrad,
     GaussianProcess.cpp:89-132).
 
@@ -156,14 +162,21 @@ def _sample_grad_at(med, scene_seed, ro_seg, rd, ts, vals, cross_idx, t_cross,
     moving them far away (zero covariance — the pinv drops them), matching
     the reference's row truncation.
     """
-    gp = med.gp
+    gp = med.gp if gp is None else gp
     cov_fn = gpmod.make_cov_fn(gp)
     n = ts.shape[0]
 
     v_cross = vals[cross_idx] + (vals[cross_idx + 1] - vals[cross_idx]) * off
+    # d/dt toward +t: (prevV - currV)/(prevT - currT) — the reference's
+    # makeIntersect derivative row with dt = prevT - currT < 0
+    # (GaussianProcess.cpp:83, FunctionSpaceGaussianProcessMedium.cpp:245).
+    # r3 negated dt, flipping the along-ray gradient sign at EVERY crossing:
+    # the wrong-side check then killed all FS scatter events and FS blobs
+    # rendered near-black (found by the r4 TPU verify render; the bucketed
+    # golden tolerance had hidden it).
     dt_local = ts[cross_idx] - ts[cross_idx + 1]
     dv_cross = (vals[cross_idx] - vals[cross_idx + 1]) / jnp.where(
-        dt_local == 0, 1.0, -dt_local)  # d/dt toward +t
+        dt_local == 0, 1.0, dt_local)
 
     ip = ro_seg + jnp.where(crossed, t_cross, ts[-1])[None] * rd
 
@@ -202,7 +215,7 @@ def _sample_grad_at(med, scene_seed, ro_seg, rd, ts, vals, cross_idx, t_cross,
     mean, sqrt_cov, _ = gpmod.conditional_mvn(
         gp, cov_fn, qry_pts, qry_dts, qry_dirs, cond_pts, cond_dts, cond_dirs,
         cond_vals)
-    key = _chunk_key(pss, scene_seed, jnp.uint32(0xD00D))
+    key = _chunk_key(pss, scene_seed, jnp.uint32(0xD00D), salt)
     g = gpmod.sample_mvn(mean, sqrt_cov, key, jnp.uint32(23))
     # crossed: the along-ray derivative is pinned to the crossing derivative
     gz = jnp.where(crossed, dv_cross, g[2])
@@ -324,3 +337,118 @@ def sample_distance_fs_one(med, scene_seed, ro, rd, near, far, first_scatter,
             "grad": out["grad"], "end_val": out["carry_val"],
             "gp_id": out["gp_id"],
             "ring_pts": rp, "ring_vals": rv, "ring_dts": rdt, "ring_n": rn}
+
+
+# ---------------------------------------------------------------------------
+# Two-GP CSG (union = min of realizations) — GPSampleNodeCSG semantics
+# (GaussianProcess.hpp:41-95 GPRealNodeCsg, GaussianProcess.cpp:25-66)
+# ---------------------------------------------------------------------------
+
+_CSG_SALT = 0x9E3779B9
+
+
+def csg_children(gp):
+    """(left, right) full GPs of a CSG union node.  left strips the
+    additional-mean shortcut (that path is the sparse-conv approximation,
+    GPSampleNodeCSG::fromJson building _csg; the FS backend samples both
+    children exactly)."""
+    import dataclasses
+    left = dataclasses.replace(gp, mean_additional=None, csg_right=None)
+    return left, gp.csg_right
+
+
+def sample_distance_fs_one_csg(med, scene_seed, ro, rd, near, far,
+                               first_scatter, carry_val_l, carry_grad_l,
+                               carry_val_r, carry_grad_r, have_carry,
+                               info_t, pss, u_offset, active):
+    """Single-ray chunked FS march over min(left, right) realizations.
+
+    Both children are sampled INDEPENDENTLY per chunk, each conditioned on
+    its OWN Renewal/Renewal+ carry (GPRealNodeCsg::applyMemory recurses into
+    both children); the sign-scan runs on the pointwise min and the id of
+    the attaining child is tracked (GPRealNodeCsg::flatten/perform_op).  At
+    a crossing both children receive their own interpolated crossing rows
+    (makeIntersect recurses) and both sample their own conditioned gradient
+    (sampleGrad recurses); the returned scatter gradient is the argmin
+    child's (pickId).  Global-context rings are not supported for CSG
+    (caller raises).
+
+    Returns dict(hit, t, grad[3] picked, gp_id, val_l, grad_l[3], val_r,
+    grad_r[3])."""
+    gp_l, gp_r = csg_children(med.gp)
+    n = med.sample_points
+    seg_len = jnp.maximum(far - near, 1e-6)
+    dt_full = seg_len / n
+    dt = jnp.where((med.step_size > 0) & (med.step_size < dt_full),
+                   med.step_size, dt_full)
+    max_chunks = 64
+
+    def cond(c):
+        return c["running"] & (c["chunk"] < max_chunks)
+
+    def body(c):
+        t0 = c["t0"]
+        ts, vals_l, _ = _sample_chunk(
+            med, scene_seed, ro, rd, t0, dt, n, c["cv_l"], c["cg_l"],
+            c["have_carry"], pss, c["chunk"], u_offset, gp=gp_l, salt=0)
+        ts_r, vals_r, _ = _sample_chunk(
+            med, scene_seed, ro, rd, t0, dt, n, c["cv_r"], c["cg_r"],
+            c["have_carry"], pss, c["chunk"], u_offset, gp=gp_r,
+            salt=_CSG_SALT)
+        vals = jnp.minimum(vals_l, vals_r)
+        ids = jnp.where(vals_l <= vals_r, 0, 1)
+
+        skip_first = (~first_scatter) & (c["chunk"] == 0)
+        crossed, idx, t_cross, v0, v1, off = _find_crossing(ts, vals,
+                                                            skip_first)
+        # per-child gradients, each conditioned on its own realization rows
+        # + its own interpolated crossing rows (same offsetT for both:
+        # GPRealNodeCsg::makeIntersect passes p/offsetT/dt to both children)
+        grad_l, vc_l, _dv_l = _sample_grad_at(
+            med, scene_seed, ro, rd, ts, vals_l, idx, t_cross, off, crossed,
+            pss, gp=gp_l, salt=0)
+        grad_r, vc_r, _dv_r = _sample_grad_at(
+            med, scene_seed, ro, rd, ts, vals_r, idx, t_cross, off, crossed,
+            pss, gp=gp_r, salt=_CSG_SALT)
+        pick = jnp.where(crossed, ids[idx], ids[-1])
+        grad = jnp.where(pick == 0, grad_l, grad_r)
+
+        t_end = ts[-1]
+        reached_far = t_end >= far - 1e-6
+        running = (~crossed) & (~reached_far)
+        # each child's carry: its own value at the stop point (crossing
+        # interp or chunk end) + its own sampled gradient
+        return {
+            "t0": t_end,
+            "chunk": c["chunk"] + jnp.uint32(1),
+            "running": running,
+            "hit": crossed,
+            "t_hit": jnp.where(crossed, t_cross, far),
+            "grad": grad,
+            "cv_l": jnp.where(crossed, vc_l, vals_l[-1]),
+            "cg_l": dot(grad_l, rd),
+            "cv_r": jnp.where(crossed, vc_r, vals_r[-1]),
+            "cg_r": dot(grad_r, rd),
+            "grad_l": grad_l,
+            "grad_r": grad_r,
+            "have_carry": jnp.asarray(True),
+            "gp_id": pick,
+        }
+
+    init = {
+        "t0": near, "chunk": jnp.uint32(0),
+        "running": active,
+        "hit": jnp.asarray(False),
+        "t_hit": far,
+        "grad": jnp.zeros(3),
+        "cv_l": carry_val_l, "cg_l": carry_grad_l,
+        "cv_r": carry_val_r, "cg_r": carry_grad_r,
+        "grad_l": jnp.zeros(3), "grad_r": jnp.zeros(3),
+        "have_carry": have_carry,
+        "gp_id": jnp.int32(0),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    return {"hit": out["hit"] & active, "t": out["t_hit"],
+            "grad": out["grad"], "gp_id": out["gp_id"],
+            "val_l": out["cv_l"], "grad_l": out["grad_l"],
+            "val_r": out["cv_r"], "grad_r": out["grad_r"]}

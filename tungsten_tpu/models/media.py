@@ -116,6 +116,10 @@ class MediumState:
     fs_vals: jnp.ndarray = None  # [R,K]
     fs_dts: jnp.ndarray = None  # [R,K] i32
     fs_n: jnp.ndarray = None  # [R] i32 valid-row count
+    # CSG right-child carry (GPRealNodeCsg::applyMemory keeps BOTH
+    # children's renewal memory; last_val/last_aniso carry the left child)
+    fs_val2: jnp.ndarray = None  # [R]
+    fs_grad2: jnp.ndarray = None  # [R,3]
 
     @staticmethod
     def make(n):
@@ -136,7 +140,9 @@ class MediumState:
             fs_pts=jnp.zeros((n, FS_RING, 3), jnp.float32),
             fs_vals=jnp.zeros((n, FS_RING), jnp.float32),
             fs_dts=jnp.zeros((n, FS_RING), jnp.int32),
-            fs_n=jnp.zeros(n, jnp.int32))
+            fs_n=jnp.zeros(n, jnp.int32),
+            fs_val2=jnp.zeros(n, jnp.float32),
+            fs_grad2=jnp.zeros((n, 3), jnp.float32).at[:, 0].set(1.0))
 
     def reset_where(self, mask):
         """mediumState.reset() on boundary-crossing rays
@@ -627,15 +633,35 @@ def _sample_distance_fs(med, scene_seed, ro, rd, near, far, state, pss,
                         u_jitter, active):
     from . import fs_medium as fs
 
-    res = jax.vmap(lambda o, d, nr, fr, fsc, cv, cg, hc, it, ps, uo, ac,
-                   rp, rv, rdt, rn:
-                   fs.sample_distance_fs_one(med, scene_seed, o, d, nr, fr,
-                                             fsc, cv, cg, hc, it, ps, uo, ac,
-                                             rp, rv, rdt, rn))(
-        ro, rd, near, far, state.first_scatter, state.last_val,
-        jax.vmap(dot)(state.last_aniso, rd), ~state.first_scatter,
-        state.info_t, pss, u_jitter, active,
-        state.fs_pts, state.fs_vals, state.fs_dts, state.fs_n)
+    is_csg = med.gp.csg_right is not None
+    if is_csg:
+        if med.cfg.ctxt == sc.CTXT_GLOBAL:
+            raise ValueError(
+                "csg GPs are not supported with the Global correlation "
+                "context (bounded ring would need per-child duplication); "
+                "use renewal/renewal+ (reference paper configs)")
+        res = jax.vmap(lambda o, d, nr, fr, fsc, cvl, cgl, cvr, cgr, hc,
+                       it, ps, uo, ac:
+                       fs.sample_distance_fs_one_csg(
+                           med, scene_seed, o, d, nr, fr, fsc, cvl, cgl,
+                           cvr, cgr, hc, it, ps, uo, ac))(
+            ro, rd, near, far, state.first_scatter, state.last_val,
+            jax.vmap(dot)(state.last_aniso, rd), state.fs_val2,
+            jax.vmap(dot)(state.fs_grad2, rd), ~state.first_scatter,
+            state.info_t, pss, u_jitter, active)
+        res["end_val"] = res["val_l"]
+        res["ring_pts"], res["ring_vals"] = state.fs_pts, state.fs_vals
+        res["ring_dts"], res["ring_n"] = state.fs_dts, state.fs_n
+    else:
+        res = jax.vmap(lambda o, d, nr, fr, fsc, cv, cg, hc, it, ps, uo, ac,
+                       rp, rv, rdt, rn:
+                       fs.sample_distance_fs_one(med, scene_seed, o, d, nr,
+                                                 fr, fsc, cv, cg, hc, it, ps,
+                                                 uo, ac, rp, rv, rdt, rn))(
+            ro, rd, near, far, state.first_scatter, state.last_val,
+            jax.vmap(dot)(state.last_aniso, rd), ~state.first_scatter,
+            state.info_t, pss, u_jitter, active,
+            state.fs_pts, state.fs_vals, state.fs_dts, state.fs_n)
 
     hit = res["hit"]
     t = res["t"]
@@ -655,12 +681,18 @@ def _sample_distance_fs(med, scene_seed, ro, rd, near, far, state, pss,
     sig_t = jnp.maximum(med.sigma_t, 1e-9)
     weight = jnp.where(hit[:, None], (sig_s / sig_t)[None, :], 1.0)
 
+    # renewal carry: for CSG, last_val/last_aniso hold the LEFT child's own
+    # (value, sampled grad) and fs_val2/fs_grad2 the right's
+    # (GPRealNodeCsg::applyMemory recurses into both children); non-CSG
+    # keeps the r3 behavior (carry == picked grad, 0 at a crossing)
+    carry_grad = res["grad_l"] if is_csg else grad
+    carry_val = (res["val_l"] if is_csg
+                 else jnp.where(hit, 0.0, res["end_val"]))
     new_state = replace(
         state,
         first_scatter=jnp.where(active, False, state.first_scatter),
-        last_aniso=jnp.where(active[:, None], grad, state.last_aniso),
-        last_val=jnp.where(active, jnp.where(hit, 0.0, res["end_val"]),
-                           state.last_val),
+        last_aniso=jnp.where(active[:, None], carry_grad, state.last_aniso),
+        last_val=jnp.where(active, carry_val, state.last_val),
         last_gp_id=jnp.where(active & hit, res["gp_id"], state.last_gp_id),
         scheme=jnp.where(active, sc.SCHEME_UNI, state.scheme),
         info_t=jnp.where(active, state.info_t + t - near, state.info_t),
@@ -670,6 +702,10 @@ def _sample_distance_fs(med, scene_seed, ro, rd, near, far, state, pss,
         fs_vals=jnp.where(active[:, None], res["ring_vals"], state.fs_vals),
         fs_dts=jnp.where(active[:, None], res["ring_dts"], state.fs_dts),
         fs_n=jnp.where(active, res["ring_n"], state.fs_n),
+        fs_val2=(jnp.where(active, res["val_r"], state.fs_val2)
+                 if is_csg else state.fs_val2),
+        fs_grad2=(jnp.where(active[:, None], res["grad_r"], state.fs_grad2)
+                  if is_csg else state.fs_grad2),
     )
     ip_fs = ro + t[:, None] * rd
     weight = weight * jnp.where(hit[:, None], med.gp.color(ip_fs), 1.0)

@@ -3,10 +3,12 @@
 Re-design of src/core/integrators/multiplexed_mlt/ (988 LoC:
 MultiplexedMltTracer.cpp startSampleChain/runSampleChain,
 LargeStepTracker.hpp normalization): Hachisuka et al. 2014's MMLT samples
-BDPT strategies through primary sample space — each Markov chain owns one
-(s,t) strategy (startSampleChain fixes s/t per chain,
-MultiplexedMltTracer.cpp:117-143), mutates the PSS vector with Kelemen
-small/large steps, and accepts by the luminance ratio of ITS strategy's
+BDPT strategies through primary sample space — the technique index is
+itself a PSS dimension (emitterSampler dim 0, seeded at the strategy's
+interval midpoint by startSampleChain, MultiplexedMltTracer.cpp:117-143),
+so Kelemen small steps occasionally jump strategies (the reference's
+techniqueChange statistic, :194-209) and large steps redraw the technique
+uniformly; acceptance is by the luminance ratio of the SELECTED strategy's
 MIS-weighted contribution.
 
 TPU-native shape: thousands of chains advance in lockstep; every mutation
@@ -129,15 +131,29 @@ def render_pass_mmlt(scene: Scene, spp_idx, n_chains=2048, n_mutations=24,
         py = jnp.sum(jnp.where(oh, pys, 0), axis=1)
         return c, px, py
 
+    # the technique index is a PSS DIMENSION (slot 6 of the bounce-0 block,
+    # unused by the walks): si = floor(u_tech * ns).  Small steps perturb
+    # it (occasionally crossing a strategy boundary = the reference's
+    # techniqueChange move) and large steps redraw it uniformly — exactly
+    # MultiplexedMltTracer's emitterSampler dim 0
+    # (MultiplexedMltTracer.cpp:131 setRandomElement, :194-209 stats).
+    _TECH = 6
+
+    def tech(u):
+        return jnp.minimum((u[:, _TECH] * ns).astype(jnp.int32), ns - 1)
+
     rgb0, pxs0, pys0 = _strategies(scene, cur_u, spp_idx, max_cam,
                                    max_light)
     lum0 = _lum(rgb0)
     tot0 = jnp.sum(lum0, axis=-1)
     csum = jnp.cumsum(lum0, axis=-1)
     rs = trng.uniform(key, jnp.uint32(0x51C7)) * jnp.maximum(tot0, 1e-30)
-    si = jnp.minimum(jnp.sum((csum < rs[:, None]).astype(jnp.int32), -1),
-                     ns - 1)
-    cur_c, cur_px, cur_py = select(rgb0, pxs0, pys0, si)
+    si0 = jnp.minimum(jnp.sum((csum < rs[:, None]).astype(jnp.int32), -1),
+                      ns - 1)
+    # seed the technique dim at the strategy's interval midpoint
+    # (startSampleChain's (s + 0.5)/(length + 1))
+    cur_u = cur_u.at[:, _TECH].set((si0.astype(jnp.float32) + 0.5) / ns)
+    cur_c, cur_px, cur_py = select(rgb0, pxs0, pys0, si0)
     cur_l = _lum(cur_c)
 
     def splat(film, pxs, pys, w_rgb):
@@ -150,7 +166,7 @@ def render_pass_mmlt(scene: Scene, spp_idx, n_chains=2048, n_mutations=24,
         prop_u, _big = _mutate(cur_u, key, itu, p_large)
         rgb_p, pxs_p, pys_p = _strategies(scene, prop_u, spp_idx,
                                           max_cam, max_light)
-        prop_c, prop_px, prop_py = select(rgb_p, pxs_p, pys_p, si)
+        prop_c, prop_px, prop_py = select(rgb_p, pxs_p, pys_p, tech(prop_u))
         prop_l = _lum(prop_c)
         a = jnp.where(cur_l > 0.0,
                       jnp.minimum(prop_l / jnp.maximum(cur_l, 1e-30), 1.0),

@@ -577,3 +577,40 @@ def direct_pdf(soa: PrimitiveSoA, li, p, w, t_hit, n_hit=None):
         pdf = jnp.where(kind == PRIM_MESH,
                         direct_pdf_mesh(tlookup(soa.area, li), n_hit, w, t_hit), pdf)
     return pdf
+
+
+def invert_position(soa: PrimitiveSoA, li, p, ur1, ur2):
+    """(u1, u2, ok): PSS slots with sample_position(li, u1, u2) == p
+    (ReversibleJumpMLT light-root inversion; the reference's
+    PathVertex::invertRootVertex emitter branch).  Supported: quad (solve
+    the bilinear coords), sphere (z/phi of the unit offset), point
+    (position is fixed; slots free).  Other kinds: ok=False — the RJ
+    strategy jump is rejected."""
+    kind = tlookup(soa.kind, li)
+    d = p - tlookup(soa.p0, li)
+
+    # quad: p = p0 + u1 e0 + u2 e1
+    e0 = tlookup(soa.e0, li)
+    e1 = tlookup(soa.e1, li)
+    u1q = jnp.sum(d * e0) / jnp.maximum(jnp.sum(e0 * e0), 1e-12)
+    u2q = jnp.sum(d * e1) / jnp.maximum(jnp.sum(e1 * e1), 1e-12)
+    ok_q = ((u1q > -1e-4) & (u1q < 1.0 + 1e-4)
+            & (u2q > -1e-4) & (u2q < 1.0 + 1e-4))
+
+    # sphere: n = d / radius, z = 1 - 2 u1, phi = 2 pi u2
+    r = jnp.maximum(tlookup(soa.radius, li), 1e-12)
+    n = d / r
+    u1s = jnp.clip((1.0 - n[2]) * 0.5, 0.0, 1.0)
+    phi = jnp.mod(jnp.arctan2(n[1], n[0]), 2.0 * jnp.pi)
+    u2s = phi / (2.0 * jnp.pi)
+    ok_s = jnp.abs(jnp.sum(n * n) - 1.0) < 1e-2
+
+    is_q = kind == PRIM_QUAD
+    is_s = kind == PRIM_SPHERE
+    is_p = kind == PRIM_POINT
+    u1 = jnp.where(is_q, jnp.clip(u1q, 0.0, 1.0),
+                   jnp.where(is_s, u1s, ur1))
+    u2 = jnp.where(is_q, jnp.clip(u2q, 0.0, 1.0),
+                   jnp.where(is_s, u2s, ur2))
+    ok = jnp.where(is_q, ok_q, jnp.where(is_s, ok_s, is_p))
+    return u1, u2, ok

@@ -82,19 +82,29 @@ def _use_eigh():
 def _sqrt_psd(a, jitter=1e-6):
     """Matrix square root: Cholesky with diagonal jitter; eigh fallback on
     CPU, escalated-jitter Cholesky on TPU
-    (MultivariateNormalDistribution ctor, Gaussian.cpp:122-170)."""
+    (MultivariateNormalDistribution ctor, Gaussian.cpp:122-170).
+
+    The jitter scale MUST track the matrix's own variance scale: r3 floored
+    it at 1.0, so the escalation fallback added 1e-2 ABSOLUTE variance —
+    ~3x the signal for the paper configs (sigma=0.06 -> var 3.6e-3) — and
+    TPU FS renders lost most scatter events (blobs rendered dark vs the
+    CPU/eigh path).  Escalate relative jitter in decades instead."""
     n = a.shape[-1]
     eye = jnp.eye(n, dtype=a.dtype)
-    scale = jnp.maximum(jnp.trace(a) / n, 1.0)
+    scale = jnp.maximum(jnp.trace(a) / n, 1e-12)
     chol = jnp.linalg.cholesky(a + jitter * scale * eye)
     ok = jnp.all(jnp.isfinite(chol))
     if _use_eigh():
         w, v = jnp.linalg.eigh(a)
         fb = v * jnp.sqrt(jnp.maximum(w, 1e-12))[None, :]
-    else:
-        c2 = jnp.linalg.cholesky(a + 1e-2 * scale * eye)
-        fb = jnp.where(jnp.isfinite(c2), c2, 0.0)
-    return jnp.where(ok, jnp.where(jnp.isfinite(chol), chol, 0.0), fb)
+        return jnp.where(ok, jnp.where(jnp.isfinite(chol), chol, 0.0), fb)
+    out = jnp.where(jnp.isfinite(chol), chol, 0.0)
+    for j in (1e-5, 1e-4, 1e-3):
+        cj = jnp.linalg.cholesky(a + j * scale * eye)
+        okj = jnp.all(jnp.isfinite(cj))
+        out = jnp.where(ok, out, jnp.where(okj, cj, 0.0))
+        ok = ok | okj
+    return out
 
 
 def pseudo_inverse(a, eps_scale=1e-6):
@@ -111,12 +121,17 @@ def pseudo_inverse(a, eps_scale=1e-6):
                           1.0 / jnp.where(w == 0, 1.0, w))
         return (v * w_inv[None, :]) @ v.T
     eye = jnp.eye(n, dtype=a.dtype)
-    scale = jnp.maximum(jnp.trace(jnp.abs(a)) / n, 1.0)
-    c1 = jnp.linalg.cholesky(a + 1e-5 * scale * eye)
-    ok = jnp.all(jnp.isfinite(c1))
-    c2 = jnp.linalg.cholesky(a + 1e-2 * scale * eye)
-    c = jnp.where(ok, jnp.where(jnp.isfinite(c1), c1, 0.0),
-                  jnp.where(jnp.isfinite(c2), c2, 0.0))
+    # relative jitter ladder — the r3 floor of 1.0 made the fallback ridge
+    # 1e-2 ABSOLUTE, drowning small-variance conditioning systems on TPU
+    # (see _sqrt_psd)
+    scale = jnp.maximum(jnp.trace(jnp.abs(a)) / n, 1e-12)
+    c = jnp.zeros_like(a)
+    ok = jnp.zeros((), bool)
+    for j in (1e-5, 1e-4, 1e-3, 1e-2):
+        cj = jnp.linalg.cholesky(a + j * scale * eye)
+        okj = jnp.all(jnp.isfinite(cj))
+        c = jnp.where(ok, c, jnp.where(okj, cj, 0.0))
+        ok = ok | okj
     from jax.scipy.linalg import cho_solve
     return cho_solve((c, True), eye)
 

@@ -56,6 +56,13 @@ class GP:
     mean: object
     cov: object
     mean_additional: object = None
+    # full right-child GP of a CSG union node.  The sparse-conv / weight-
+    # space backends evaluate the additional-mean approximation (exactly the
+    # reference: GPSampleNodeCSG::fromJson builds _csg = left GP with
+    # right's mean as _mean_additional, and those media call
+    # get_gaussian_process() -> _csg); the function-space backend samples
+    # BOTH children and takes the min (GPRealNodeCsg, GaussianProcess.hpp:41).
+    csg_right: object = None
     global_cond: object = None
     # optional per-point scatter color / volume emission fields attached to
     # the mean (MeanFunction::color/emission, GPFunctions.hpp:849-857)

@@ -191,7 +191,7 @@ def main(argv=None):
                     choices=["path_tracer", "light_tracer",
                              "bidirectional_path_tracer", "photon_map",
                              "progressive_photon_map", "kelemen_mlt",
-                             "multiplexed_mlt"],
+                             "multiplexed_mlt", "reversible_jump_mlt"],
                     help="overrides the scene's integrator type")
     ap.add_argument("--sampler", default=None,
                     choices=["independent", "sobol"],
@@ -287,7 +287,8 @@ def main(argv=None):
         img = np.asarray(render_ppm(scene, n_passes=spp)).reshape(H, W, 3)
         film, done = img, [1]
     elif integ_kind in ("light_tracer", "bidirectional_path_tracer",
-                        "photon_map", "kelemen_mlt", "multiplexed_mlt"):
+                        "photon_map", "kelemen_mlt", "multiplexed_mlt",
+                        "reversible_jump_mlt"):
         if integ_kind == "light_tracer":
             from .models.light_tracer import render_pass_lt as _pass
         elif integ_kind == "photon_map":
@@ -296,6 +297,8 @@ def main(argv=None):
             from .models.mlt import render_pass_mlt as _pass
         elif integ_kind == "multiplexed_mlt":
             from .models.mmlt import render_pass_mmlt as _pass
+        elif integ_kind == "reversible_jump_mlt":
+            from .models.rjmlt import render_pass_rjmlt as _pass
         else:
             from .models.bdpt import render_pass_bdpt as _pass
         f = jax.jit(_pass)
