@@ -161,14 +161,31 @@ def test_mlt_large_step_only_equals_pt(box):
 
 def test_mmlt_technique_mutates_within_chain(box):
     """The technique index must be PSS-driven (reference techniqueChange,
-    MultiplexedMltTracer.cpp:194-209): perturbing only the technique dim
-    changes the selected strategy for some chains."""
-    from tungsten_tpu.models import mmlt as mm
+    MultiplexedMltTracer.cpp:194-209): the chain's own small-step mutation
+    must cross a strategy boundary for SOME chains (the techniqueChange
+    move) while leaving most chains on their strategy (small steps are
+    local), and a pure large step must redraw it uniformly."""
+    from tungsten_tpu.models.mlt import _mutate
+    from tungsten_tpu.utils import rng as trng
+
     ns = 1 + 3 * 2 + 2
+    n, D = 512, 8
+    key = trng.xxhash32(jnp.uint32(77)) + jnp.arange(n, dtype=jnp.uint32)
     rng = np.random.default_rng(3)
-    u = jnp.asarray(rng.random((256,), np.float32))
-    si = jnp.minimum((u * ns).astype(jnp.int32), ns - 1)
-    u2 = jnp.mod(u + 0.45, 1.0)
-    si2 = jnp.minimum((u2 * ns).astype(jnp.int32), ns - 1)
-    changed = np.asarray(si != si2)
-    assert changed.any() and not changed.all()
+    u = jnp.asarray(rng.random((n, D), np.float32))
+
+    def tech(uu):
+        return jnp.minimum((uu[:, 6] * ns).astype(jnp.int32), ns - 1)
+
+    # small steps only (p_large=0): techniqueChange happens occasionally
+    u2, big = _mutate(u, key, jnp.uint32(5), p_large=0.0)
+    assert not np.asarray(big).any()
+    changed = np.asarray(tech(u) != tech(u2))
+    assert changed.any(), "small steps never cross a strategy boundary"
+    assert changed.mean() < 0.5, "small steps should rarely change strategy"
+
+    # large steps only: the technique is redrawn ~uniformly over strategies
+    u3, big3 = _mutate(u, key, jnp.uint32(9), p_large=1.0)
+    assert np.asarray(big3).all()
+    counts = np.bincount(np.asarray(tech(u3)), minlength=ns)
+    assert (counts > 0).all(), counts

@@ -59,6 +59,50 @@ def test_fast_supports_gating():
     assert fast.supports(cfg, gp)
     cfg1d = sc.SparseConvConfig.create(one_d=True)
     assert not fast.supports(cfg1d, gp)
+    assert fast.supports_1d(cfg1d, gp)
+
+
+@pytest.mark.parametrize("ctxt", [sc.CTXT_RENEWAL_PLUS, sc.CTXT_RENEWAL,
+                                  sc.CTXT_NONE])
+@pytest.mark.parametrize("corrxy", [False, True])
+def test_fast_1d_matches_general(ctxt, corrxy):
+    """SoA 1D evaluator vs the general path (evaluateValueNoise1D,
+    SparseConvolutionNoise.cpp:126-135) with nonzero conditioning."""
+    gp = sc.GP(mean=SphericalMean.create(radius=0.45,
+                                         center=(0.0, 0.9, 0.0)),
+               cov=SquaredExponentialCov.create(sigma=0.06, l=0.12))
+    cfg = sc.SparseConvConfig.create(ctxt=ctxt, one_d=True,
+                                     scheme=sc.SCHEME_MIS,
+                                     correlation_xy=corrxy)
+    R = 16
+    r = np.random.RandomState(7)
+    ro = jnp.asarray(r.randn(R, 3), jnp.float32)
+    rd = jnp.asarray(r.randn(R, 3), jnp.float32)
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    pss = jnp.asarray(r.randint(0, 100, (R, 4)), jnp.uint32)
+    seed = jnp.uint32(42)
+    c1 = sc.Coeffs(value_scale=jnp.asarray(r.randn(R), jnp.float32) * 0.3,
+                   gradient_scale=jnp.asarray(r.randn(R, 3),
+                                              jnp.float32) * 0.2,
+                   ray_origin=jnp.asarray(r.randn(R, 3), jnp.float32))
+
+    value_at = fast.make_value_at_1d(cfg, gp, c1, ro, rd, pss, seed)
+    t = jnp.asarray(r.rand(R), jnp.float32) * 2.0
+    v_fast, id_fast = value_at(t)
+    # block-march [S, R] shape must broadcast identically
+    v_blk, _ = value_at(jnp.stack([t, t * 0.5]))
+    np.testing.assert_allclose(np.asarray(v_blk[0]), np.asarray(v_fast),
+                               rtol=1e-6)
+
+    def one(c1_i, p, rd_i, pss_i):
+        return sc.eval_value(cfg, gp, sc.Coeffs.zero(), c1_i, p, 0.0, rd_i,
+                             pss_i, seed, 0.0)
+
+    p = ro + t[:, None] * rd
+    v_ref, id_ref = jax.vmap(one)(c1, p, rd, pss)
+    np.testing.assert_allclose(np.asarray(v_fast), np.asarray(v_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(id_fast), np.asarray(id_ref))
 
 
 def _nonstat_gp(multi_res):

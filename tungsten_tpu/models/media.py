@@ -250,6 +250,9 @@ def make_value_at(med, scene_seed, ro, rd, near, state, pss):
         if fast.supports(med.cfg, med.gp):
             return fast.make_value_at(med.cfg, med.gp, state.coeff3, ro, rd,
                                       pss, scene_seed)
+        if fast.supports_1d(med.cfg, med.gp):
+            return fast.make_value_at_1d(med.cfg, med.gp, state.coeff1, ro,
+                                         rd, pss, scene_seed)
     vf = make_value_fn(med, scene_seed)
 
     def value_at_row(t):

@@ -44,6 +44,13 @@ def supports(cfg, gp):
     return isinstance(gp.cov, ProceduralNonstationaryCov)
 
 
+def supports_1d(cfg, gp):
+    """SoA fast path for 1D (along-ray) sampling: stationary covariances
+    (the mirror-1d scene family).  Multi-res 1D needs per-point level
+    ratios and stays on the general evaluator."""
+    return cfg.one_d and gp.cov.is_stationary
+
+
 def _quadform_coeffs(m):
     """Symmetric 3x3 -> 6 scalars (xx, yy, zz, xy, xz, yz)."""
     return (m[0, 0], m[1, 1], m[2, 2], m[0, 1], m[0, 2], m[1, 2])
@@ -277,6 +284,72 @@ def make_value_at(cfg, gp, coeff3, ro, rd, pss, scene_seed):
         m, gp_id = gp.mean_and_id(pw)
         if cfg.surf_vol_phase_separate:
             # evaluateValue:85-88 — id = variance-thresholded phase switch
+            gp_id = jnp.where(
+                cov.unscaled_variance(pw) < cfg.surf_vol_phase_amp_thresh,
+                0, 1)
+        return amp * val + m, gp_id
+
+    return value_at
+
+
+def make_value_at_1d(cfg, gp, coeff1, ro, rd, pss, scene_seed):
+    """SoA value_at(t) for the 1D (along-ray) sampling scheme.
+
+    The 1D noise lives on a 3-cell lattice along the iso-ray z axis
+    (noise1D/cell1D, SparseConvolutionNoise.cpp:397-428;
+    evaluateNoise1DNormalized :322-360).  The along-ray coordinate is affine
+    in t, so the whole march step is flat [R]-vector arithmetic with a
+    3 x K impulse unroll — no [R,3,K] padded intermediates.  Numerically
+    identical to eval_value with cfg.one_d (tests cross-check)."""
+    cov = gp.cov
+    seed0 = sc.compute_seed(cfg, pss, scene_seed)  # [R]
+    rd_iso = cov.pos_world_to_local(rd, 1.0)
+    rdi = normalize(rd_iso)  # [R,3]
+    pz0 = dot(cov.pos_world_to_local(ro, 1.0), rdi)  # [R]
+    dpz = dot(rd_iso, rdi)  # [R] — d(pz)/dt
+    kr = jnp.asarray(cov.splat_radius(True, 1.0), jnp.float32)
+    inv_norm = 1.0 / jnp.sqrt(cov.variance1(ro, cfg.impulse_density, kr))
+    K = cfg.impulse_count
+
+    use_cond = cfg.activate_conditioning
+    if use_cond:
+        oz = dot(cov.pos_world_to_local(coeff1.ray_origin, 1.0), rdi)  # [R]
+        vsc = coeff1.value_scale  # [R]
+        gsz = coeff1.gradient_scale[:, 2]  # [R]
+        o_world = coeff1.ray_origin
+
+    rwx, rwy, rwz = ro[:, 0], ro[:, 1], ro[:, 2]
+    dwx, dwy, dwz = rd[:, 0], rd[:, 1], rd[:, 2]
+
+    def value_at(t):
+        pw = jnp.stack([rwx + t * dwx, rwy + t * dwy, rwz + t * dwz],
+                       axis=-1)
+        pz = pz0 + t * dpz
+        tg = pz / kr
+        b = jnp.floor(tg)
+        fr = tg - b
+        i0 = b.astype(jnp.int32).astype(jnp.uint32)
+        total = jnp.zeros_like(pz)
+        for off in (-1, 0, 1):
+            cell = i0 + np.uint32(off & 0xFFFFFFFF)
+            h = rng.xxhash32_2(cell, seed0) + _U1
+            q = fr - np.float32(off)
+            for k in range(K):
+                ti = rng.uniform(h, np.uint32(2 * k))
+                w = jnp.where(rng.uniform(h, np.uint32(2 * k + 1)) < 0.5,
+                              -1.0, 1.0)
+                d = q - ti
+                sval, _ = cov.splat1_val_grad(kr * d, pw, rd)
+                total = total + jnp.where(d * d < 1.0, w * sval, 0.0)
+        val = total * inv_norm
+        if use_cond:
+            dtc = pz - oz
+            cv, _ = cov.cov1_val_grad(dtc, pw, o_world, rdi)
+            g1, _ = cov.cov1_grad_grad2(dtc, pw, o_world, rdi)
+            val = val + vsc * cv + gsz * g1
+        amp = cov.amplitude(pw)
+        m, gp_id = gp.mean_and_id(pw)
+        if cfg.surf_vol_phase_separate:
             gp_id = jnp.where(
                 cov.unscaled_variance(pw) < cfg.surf_vol_phase_amp_thresh,
                 0, 1)
