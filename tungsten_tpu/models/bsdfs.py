@@ -229,6 +229,15 @@ def _hair_params(table, bi):
             (beta_r * 0.5) ** 2, (beta_r * 2.0) ** 2)
 
 
+def _kind_gate(table, *kinds):
+    """Trace-time lobe gate: skip compiling a lobe when no table row has the
+    kind.  Empty kinds_static (hand-built test tables) keeps every lobe.
+    Cuts both XLA compile time and per-bounce VPU work — the branch-free
+    design otherwise evaluates all 19 kinds for every batch."""
+    ks = table.kinds_static
+    return (not ks) or any(kk in ks for kk in kinds)
+
+
 def _eval_simple(table, bi, wi, wo):
     """f(wi, wo) * |cos(wo)| for non-Dirac, non-nested lobes (NEE path).
 
@@ -238,108 +247,135 @@ def _eval_simple(table, bi, wi, wo):
     albedo = tlookup(table.albedo, bi)
     czi, czo = wi[..., 2], wo[..., 2]
     same_side = (czi > 0) & (czo > 0)
+    has = lambda *kk: _kind_gate(table, *kk)  # noqa: E731
 
     f_lam = albedo / jnp.pi * jnp.maximum(czo, 0.0)[..., None]
+    conds, vals = [k == LAMBERT], [f_lam]
 
-    # Oren-Nayar (OrenNayarBsdf.cpp; standard Fujii-style approximation)
-    sigma = tlookup(table.roughness, bi)
-    s2 = sigma * sigma
-    A = 1.0 - 0.5 * s2 / (s2 + 0.33)
-    Bc = 0.45 * s2 / (s2 + 0.09)
-    # cos(phi_i - phi_o)
-    denom = jnp.sqrt(jnp.maximum((1 - czi**2) * (1 - czo**2), 1e-12))
-    cos_dphi = jnp.clip((wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1])
-                        / denom, -1.0, 1.0)
-    sin_alpha = jnp.sqrt(jnp.maximum(1.0 - jnp.minimum(czi, czo) ** 2, 1e-12))
-    tan_beta = (jnp.sqrt(jnp.maximum(1.0 - jnp.maximum(czi, czo) ** 2, 1e-12))
-                / jnp.maximum(jnp.maximum(czi, czo), 1e-6))
-    f_on = (albedo / jnp.pi
-            * ((A + Bc * jnp.maximum(cos_dphi, 0.0) * sin_alpha * tan_beta)
-               * jnp.maximum(czo, 0.0))[..., None])
+    if has(OREN_NAYAR):
+        # Oren-Nayar (OrenNayarBsdf.cpp; standard Fujii-style approximation)
+        sigma = tlookup(table.roughness, bi)
+        s2 = sigma * sigma
+        A = 1.0 - 0.5 * s2 / (s2 + 0.33)
+        Bc = 0.45 * s2 / (s2 + 0.09)
+        # cos(phi_i - phi_o)
+        denom = jnp.sqrt(jnp.maximum((1 - czi**2) * (1 - czo**2), 1e-12))
+        cos_dphi = jnp.clip((wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1])
+                            / denom, -1.0, 1.0)
+        sin_alpha = jnp.sqrt(jnp.maximum(1.0 - jnp.minimum(czi, czo) ** 2,
+                                         1e-12))
+        tan_beta = (jnp.sqrt(jnp.maximum(1.0 - jnp.maximum(czi, czo) ** 2,
+                                         1e-12))
+                    / jnp.maximum(jnp.maximum(czi, czo), 1e-6))
+        f_on = (albedo / jnp.pi
+                * ((A + Bc * jnp.maximum(cos_dphi, 0.0) * sin_alpha * tan_beta)
+                   * jnp.maximum(czo, 0.0))[..., None])
+        conds.append(k == OREN_NAYAR)
+        vals.append(f_on)
 
     # ---- microfacet lobes (RoughConductor/RoughPlastic/RoughDielectric,
     # NDFs from models/ndf.py replacing facet-forge) -----------------------
-    alpha = jnp.maximum(tlookup(table.roughness, bi), 1e-3)
-    dist = tlookup(table.dist, bi)
-    m = wi + wo
-    # sqrt(max(.,eps)) keeps the backward finite at m == 0 (wo == -wi rows:
-    # jnp.linalg.norm has a NaN gradient at exactly zero)
-    m = m / jnp.sqrt(jnp.maximum(
-        jnp.sum(m * m, axis=-1, keepdims=True), 1e-24))
-    m = m * jnp.sign(m[..., 2:3])  # upper hemisphere
-    wi_dot_m = jnp.sum(wi * m, axis=-1)
-    D = nd.d_ndf(dist, m, alpha)
-    G = nd.g2(dist, wi, wo, m, alpha)
-    denom_r = 4.0 * jnp.maximum(jnp.abs(czi), 1e-6)
+    if has(ROUGH_CONDUCTOR, ROUGH_PLASTIC, ROUGH_DIELECTRIC, NDF_BSDF,
+           ROUGH_COAT):
+        alpha = jnp.maximum(tlookup(table.roughness, bi), 1e-3)
+        dist = tlookup(table.dist, bi)
+        m = wi + wo
+        # sqrt(max(.,eps)) keeps the backward finite at m == 0 (wo == -wi
+        # rows: jnp.linalg.norm has a NaN gradient at exactly zero)
+        m = m / jnp.sqrt(jnp.maximum(
+            jnp.sum(m * m, axis=-1, keepdims=True), 1e-24))
+        m = m * jnp.sign(m[..., 2:3])  # upper hemisphere
+        wi_dot_m = jnp.sum(wi * m, axis=-1)
+        D = nd.d_ndf(dist, m, alpha)
+        G = nd.g2(dist, wi, wo, m, alpha)
+        denom_r = 4.0 * jnp.maximum(jnp.abs(czi), 1e-6)
 
-    F_cond = conductor_fresnel(tlookup(table.eta, bi), tlookup(table.k, bi),
-                               jnp.abs(wi_dot_m)[..., None])
-    f_rc = albedo * F_cond * (D * G / denom_r)[..., None]
+    if has(ROUGH_CONDUCTOR):
+        F_cond = conductor_fresnel(tlookup(table.eta, bi),
+                                   tlookup(table.k, bi),
+                                   jnp.abs(wi_dot_m)[..., None])
+        f_rc = albedo * F_cond * (D * G / denom_r)[..., None]
+        conds.append(k == ROUGH_CONDUCTOR)
+        vals.append(f_rc)
 
-    ior = tlookup(table.ior, bi)
-    F_im, _ = dielectric_fresnel(1.0 / ior, jnp.abs(wi_dot_m))
-    f_rp_spec = (F_im * D * G / denom_r)[..., None]
-    # plastic diffuse base with internal-scattering compensation
-    F_i, _ = dielectric_fresnel(1.0 / ior, jnp.maximum(czi, 0.0))
-    F_o, _ = dielectric_fresnel(1.0 / ior, jnp.maximum(czo, 0.0))
-    F_dr = _diffuse_fresnel(ior)
-    f_pl_diff = (albedo / jnp.pi * jnp.maximum(czo, 0.0)[..., None]
-                 * ((1.0 - F_i) * (1.0 - F_o))[..., None]
-                 / jnp.maximum(1.0 - albedo * F_dr, 1e-3))
-    f_rp = f_rp_spec + f_pl_diff
+    if has(PLASTIC, ROUGH_PLASTIC, ROUGH_DIELECTRIC):
+        ior = tlookup(table.ior, bi)
 
-    # rough dielectric: reflection (same side) or refraction (opposite)
-    eta_rel = jnp.where(czi < 0.0, ior, 1.0 / ior)
-    opp_side = (czi > 0) != (czo > 0)
-    # transmission half-vector (Walter 2007 eq. 16); eta_i/eta_o relative
-    ht = -(eta_rel[..., None] * wi + wo)
-    ht = ht / jnp.sqrt(jnp.maximum(jnp.sum(ht * ht, axis=-1, keepdims=True), 1e-24))
-    ht = ht * jnp.sign(ht[..., 2:3])
-    i_dot_ht = jnp.sum(wi * ht, axis=-1)
-    o_dot_ht = jnp.sum(wo * ht, axis=-1)
-    F_t, _ = dielectric_fresnel(eta_rel, jnp.abs(i_dot_ht))
-    Dt = nd.d_ndf(dist, ht, alpha)
-    Gt = nd.g2(dist, wi, wo, ht, alpha)
-    denom_t = (eta_rel * i_dot_ht + o_dot_ht) ** 2
-    F_r, _ = dielectric_fresnel(eta_rel, jnp.abs(wi_dot_m))
-    f_rd_refl = albedo * (F_r * D * G / denom_r)[..., None]
-    f_rd_trans = albedo * (jnp.abs(i_dot_ht) * jnp.abs(o_dot_ht)
-                           * (1.0 - F_t) * Dt * Gt
-                           / jnp.maximum(jnp.abs(czi) * denom_t,
-                                         1e-9))[..., None]
-    f_rd = jnp.where(opp_side[..., None], f_rd_trans, f_rd_refl)
+    if has(PLASTIC, ROUGH_PLASTIC):
+        # plastic diffuse base with internal-scattering compensation
+        F_i, _ = dielectric_fresnel(1.0 / ior, jnp.maximum(czi, 0.0))
+        F_o, _ = dielectric_fresnel(1.0 / ior, jnp.maximum(czo, 0.0))
+        F_dr = _diffuse_fresnel(ior)
+        f_pl_diff = (albedo / jnp.pi * jnp.maximum(czo, 0.0)[..., None]
+                     * ((1.0 - F_i) * (1.0 - F_o))[..., None]
+                     / jnp.maximum(1.0 - albedo * F_dr, 1e-3))
+        if has(PLASTIC):
+            conds.append(k == PLASTIC)
+            vals.append(f_pl_diff)
+        if has(ROUGH_PLASTIC):
+            F_im, _ = dielectric_fresnel(1.0 / ior, jnp.abs(wi_dot_m))
+            f_rp = (F_im * D * G / denom_r)[..., None] + f_pl_diff
+            conds.append(k == ROUGH_PLASTIC)
+            vals.append(f_rp)
 
-    # modified Phong (PhongBsdf.cpp:39-120): diffuse_ratio mix of lambert and
-    # an (e+2)/(2pi) cos^e lobe around the mirror direction
-    e = jnp.maximum(tlookup(table.p0, bi), 1.0)
-    dr = jnp.clip(tlookup(table.p1, bi), 0.0, 1.0)
-    cos_r = jnp.clip(-wi[..., 0] * wo[..., 0] - wi[..., 1] * wo[..., 1]
-                     + czi * czo, 0.0, 1.0)
-    f_ph = (albedo * ((1.0 - dr) * (e + 2.0) / (2.0 * jnp.pi)
-                      * jnp.power(cos_r, e)
-                      + dr / jnp.pi)[..., None]
-            * jnp.maximum(czo, 0.0)[..., None])
+    if has(ROUGH_DIELECTRIC, DIFFUSE_TRANSMISSION):
+        opp_side = (czi > 0) != (czo > 0)
 
-    # diffuse transmission (DiffuseTransmissionBsdf): two-sided lambert with
-    # transmit fraction T = p0
-    T = jnp.clip(tlookup(table.p0, bi), 0.0, 1.0)
-    f_dt = (albedo / jnp.pi * jnp.abs(czo)[..., None]
-            * jnp.where(opp_side, T, 1.0 - T)[..., None])
+    if has(ROUGH_DIELECTRIC):
+        # rough dielectric: reflection (same side) or refraction (opposite)
+        eta_rel = jnp.where(czi < 0.0, ior, 1.0 / ior)
+        # transmission half-vector (Walter 2007 eq. 16); eta_i/eta_o relative
+        ht = -(eta_rel[..., None] * wi + wo)
+        ht = ht / jnp.sqrt(jnp.maximum(
+            jnp.sum(ht * ht, axis=-1, keepdims=True), 1e-24))
+        ht = ht * jnp.sign(ht[..., 2:3])
+        i_dot_ht = jnp.sum(wi * ht, axis=-1)
+        o_dot_ht = jnp.sum(wo * ht, axis=-1)
+        F_t, _ = dielectric_fresnel(eta_rel, jnp.abs(i_dot_ht))
+        Dt = nd.d_ndf(dist, ht, alpha)
+        Gt = nd.g2(dist, wi, wo, ht, alpha)
+        denom_t = (eta_rel * i_dot_ht + o_dot_ht) ** 2
+        F_r, _ = dielectric_fresnel(eta_rel, jnp.abs(wi_dot_m))
+        f_rd_refl = albedo * (F_r * D * G / denom_r)[..., None]
+        f_rd_trans = albedo * (jnp.abs(i_dot_ht) * jnp.abs(o_dot_ht)
+                               * (1.0 - F_t) * Dt * Gt
+                               / jnp.maximum(jnp.abs(czi) * denom_t,
+                                             1e-9))[..., None]
+        f_rd = jnp.where(opp_side[..., None], f_rd_trans, f_rd_refl)
+        conds.append(k == ROUGH_DIELECTRIC)
+        vals.append(f_rd)
 
-    # NDF bsdf (NDFBsdf.hpp): bare microfacet mirror, F = 1
-    f_ndf = albedo * (D * G / denom_r)[..., None]
+    if has(PHONG):
+        # modified Phong (PhongBsdf.cpp:39-120): diffuse_ratio mix of lambert
+        # and an (e+2)/(2pi) cos^e lobe around the mirror direction
+        e = jnp.maximum(tlookup(table.p0, bi), 1.0)
+        dr = jnp.clip(tlookup(table.p1, bi), 0.0, 1.0)
+        cos_r = jnp.clip(-wi[..., 0] * wo[..., 0] - wi[..., 1] * wo[..., 1]
+                         + czi * czo, 0.0, 1.0)
+        f_ph = (albedo * ((1.0 - dr) * (e + 2.0) / (2.0 * jnp.pi)
+                          * jnp.power(cos_r, e)
+                          + dr / jnp.pi)[..., None]
+                * jnp.maximum(czo, 0.0)[..., None])
+        conds.append(k == PHONG)
+        vals.append(f_ph)
 
-    f = jnp.select([jnp.broadcast_to(k == LAMBERT, f_lam.shape),
-                    jnp.broadcast_to(k == OREN_NAYAR, f_lam.shape),
-                    jnp.broadcast_to(k == ROUGH_CONDUCTOR, f_lam.shape),
-                    jnp.broadcast_to(k == PLASTIC, f_lam.shape),
-                    jnp.broadcast_to(k == ROUGH_PLASTIC, f_lam.shape),
-                    jnp.broadcast_to(k == ROUGH_DIELECTRIC, f_lam.shape),
-                    jnp.broadcast_to(k == PHONG, f_lam.shape),
-                    jnp.broadcast_to(k == DIFFUSE_TRANSMISSION, f_lam.shape),
-                    jnp.broadcast_to(k == NDF_BSDF, f_lam.shape)],
-                   [f_lam, f_on, f_rc, f_pl_diff, f_rp, f_rd,
-                    f_ph, f_dt, f_ndf], 0.0)
+    if has(DIFFUSE_TRANSMISSION):
+        # diffuse transmission (DiffuseTransmissionBsdf): two-sided lambert
+        # with transmit fraction T = p0
+        T = jnp.clip(tlookup(table.p0, bi), 0.0, 1.0)
+        f_dt = (albedo / jnp.pi * jnp.abs(czo)[..., None]
+                * jnp.where(opp_side, T, 1.0 - T)[..., None])
+        conds.append(k == DIFFUSE_TRANSMISSION)
+        vals.append(f_dt)
+
+    if has(NDF_BSDF):
+        # NDF bsdf (NDFBsdf.hpp): bare microfacet mirror, F = 1
+        f_ndf = albedo * (D * G / denom_r)[..., None]
+        conds.append(k == NDF_BSDF)
+        vals.append(f_ndf)
+
+    f = jnp.select([jnp.broadcast_to(c, f_lam.shape) for c in conds],
+                   vals, 0.0)
     two_sided = (k == ROUGH_DIELECTRIC) | (k == DIFFUSE_TRANSMISSION)
     f = jnp.where((same_side | two_sided)[..., None], f, 0.0)
 
@@ -372,67 +408,82 @@ def _pdf_simple(table, bi, wi, wo):
     """pdf of sample() for non-Dirac, non-nested lobes."""
     k = tlookup(table.kind, bi)
     czi, czo = wi[..., 2], wo[..., 2]
+    has = lambda *kk: _kind_gate(table, *kk)  # noqa: E731
     p_cos = jnp.maximum(czo, 0.0) / jnp.pi
     diffuse = (k == LAMBERT) | (k == OREN_NAYAR)
     pdf = jnp.where(diffuse & (czi > 0), p_cos, 0.0)
 
-    alpha = jnp.maximum(tlookup(table.roughness, bi), 1e-3)
-    dist = tlookup(table.dist, bi)
-    m = wi + wo
-    # sqrt(max(.,eps)) keeps the backward finite at m == 0 (wo == -wi rows:
-    # jnp.linalg.norm has a NaN gradient at exactly zero)
-    m = m / jnp.sqrt(jnp.maximum(
-        jnp.sum(m * m, axis=-1, keepdims=True), 1e-24))
-    m = m * jnp.sign(m[..., 2:3])
-    wi_dot_m = jnp.sum(wi * m, axis=-1)
-    p_spec = nd.pdf_m(dist, wi, m, alpha) / jnp.maximum(
-        4.0 * jnp.abs(wi_dot_m), 1e-9)
-    pdf = jnp.where((k == ROUGH_CONDUCTOR) & (czi > 0) & (czo > 0),
-                    p_spec, pdf)
+    if has(ROUGH_CONDUCTOR, ROUGH_PLASTIC, ROUGH_DIELECTRIC, NDF_BSDF):
+        alpha = jnp.maximum(tlookup(table.roughness, bi), 1e-3)
+        dist = tlookup(table.dist, bi)
+        m = wi + wo
+        # sqrt(max(.,eps)) keeps the backward finite at m == 0 (wo == -wi
+        # rows: jnp.linalg.norm has a NaN gradient at exactly zero)
+        m = m / jnp.sqrt(jnp.maximum(
+            jnp.sum(m * m, axis=-1, keepdims=True), 1e-24))
+        m = m * jnp.sign(m[..., 2:3])
+        wi_dot_m = jnp.sum(wi * m, axis=-1)
+        p_spec = nd.pdf_m(dist, wi, m, alpha) / jnp.maximum(
+            4.0 * jnp.abs(wi_dot_m), 1e-9)
 
-    ior = tlookup(table.ior, bi)
-    F_i, _ = dielectric_fresnel(1.0 / ior, jnp.maximum(czi, 0.0))
-    pdf = jnp.where((k == PLASTIC) & (czi > 0) & (czo > 0),
-                    (1.0 - F_i) * p_cos, pdf)
-    pdf = jnp.where((k == ROUGH_PLASTIC) & (czi > 0) & (czo > 0),
-                    F_i * p_spec + (1.0 - F_i) * p_cos, pdf)
+    if has(ROUGH_CONDUCTOR):
+        pdf = jnp.where((k == ROUGH_CONDUCTOR) & (czi > 0) & (czo > 0),
+                        p_spec, pdf)
 
-    # rough dielectric: Fresnel-weighted reflect/refract jacobians
-    eta_rel = jnp.where(czi < 0.0, ior, 1.0 / ior)
-    opp = (czi > 0) != (czo > 0)
-    ht = -(eta_rel[..., None] * wi + wo)
-    ht = ht / jnp.sqrt(jnp.maximum(jnp.sum(ht * ht, axis=-1, keepdims=True), 1e-24))
-    ht = ht * jnp.sign(ht[..., 2:3])
-    i_dot_ht = jnp.sum(wi * ht, axis=-1)
-    o_dot_ht = jnp.sum(wo * ht, axis=-1)
-    F_m, _ = dielectric_fresnel(eta_rel, jnp.abs(wi_dot_m))
-    F_ht, _ = dielectric_fresnel(eta_rel, jnp.abs(i_dot_ht))
-    wi_up = jnp.stack([wi[..., 0], wi[..., 1], jnp.abs(czi)], axis=-1)
-    m_up = jnp.stack([m[..., 0], m[..., 1], jnp.abs(m[..., 2])], axis=-1)
-    ht_up = jnp.stack([ht[..., 0], ht[..., 1], jnp.abs(ht[..., 2])], axis=-1)
-    p_refl = (F_m * nd.pdf_m(dist, wi_up, m_up, alpha)
-              / jnp.maximum(4.0 * jnp.abs(wi_dot_m), 1e-9))
-    jac_t = jnp.abs(o_dot_ht) / jnp.maximum(
-        (eta_rel * i_dot_ht + o_dot_ht) ** 2, 1e-9)
-    p_trans = (1.0 - F_ht) * nd.pdf_m(dist, wi_up, ht_up, alpha) * jac_t
-    pdf = jnp.where(k == ROUGH_DIELECTRIC,
-                    jnp.where(opp, p_trans, p_refl), pdf)
+    if has(PLASTIC, ROUGH_PLASTIC, ROUGH_DIELECTRIC):
+        ior = tlookup(table.ior, bi)
+    if has(PLASTIC, ROUGH_PLASTIC):
+        F_i, _ = dielectric_fresnel(1.0 / ior, jnp.maximum(czi, 0.0))
+    if has(PLASTIC):
+        pdf = jnp.where((k == PLASTIC) & (czi > 0) & (czo > 0),
+                        (1.0 - F_i) * p_cos, pdf)
+    if has(ROUGH_PLASTIC):
+        pdf = jnp.where((k == ROUGH_PLASTIC) & (czi > 0) & (czo > 0),
+                        F_i * p_spec + (1.0 - F_i) * p_cos, pdf)
 
-    # phong: diffuse_ratio mix of cosine and (e+1)/(2pi) cos^e lobe
-    e = jnp.maximum(tlookup(table.p0, bi), 1.0)
-    dr = jnp.clip(tlookup(table.p1, bi), 0.0, 1.0)
-    cos_r = jnp.clip(-wi[..., 0] * wo[..., 0] - wi[..., 1] * wo[..., 1]
-                     + czi * czo, 0.0, 1.0)
-    p_ph = (dr * p_cos
-            + (1.0 - dr) * (e + 1.0) / (2.0 * jnp.pi) * jnp.power(cos_r, e))
-    pdf = jnp.where((k == PHONG) & (czi > 0) & (czo > 0), p_ph, pdf)
+    if has(ROUGH_DIELECTRIC, DIFFUSE_TRANSMISSION):
+        opp = (czi > 0) != (czo > 0)
 
-    # diffuse transmission
-    T = jnp.clip(tlookup(table.p0, bi), 0.0, 1.0)
-    p_dt = jnp.abs(czo) / jnp.pi * jnp.where(opp, T, 1.0 - T)
-    pdf = jnp.where(k == DIFFUSE_TRANSMISSION, p_dt, pdf)
+    if has(ROUGH_DIELECTRIC):
+        # rough dielectric: Fresnel-weighted reflect/refract jacobians
+        eta_rel = jnp.where(czi < 0.0, ior, 1.0 / ior)
+        ht = -(eta_rel[..., None] * wi + wo)
+        ht = ht / jnp.sqrt(jnp.maximum(
+            jnp.sum(ht * ht, axis=-1, keepdims=True), 1e-24))
+        ht = ht * jnp.sign(ht[..., 2:3])
+        i_dot_ht = jnp.sum(wi * ht, axis=-1)
+        o_dot_ht = jnp.sum(wo * ht, axis=-1)
+        F_m, _ = dielectric_fresnel(eta_rel, jnp.abs(wi_dot_m))
+        F_ht, _ = dielectric_fresnel(eta_rel, jnp.abs(i_dot_ht))
+        wi_up = jnp.stack([wi[..., 0], wi[..., 1], jnp.abs(czi)], axis=-1)
+        m_up = jnp.stack([m[..., 0], m[..., 1], jnp.abs(m[..., 2])], axis=-1)
+        ht_up = jnp.stack([ht[..., 0], ht[..., 1], jnp.abs(ht[..., 2])],
+                          axis=-1)
+        p_refl = (F_m * nd.pdf_m(dist, wi_up, m_up, alpha)
+                  / jnp.maximum(4.0 * jnp.abs(wi_dot_m), 1e-9))
+        jac_t = jnp.abs(o_dot_ht) / jnp.maximum(
+            (eta_rel * i_dot_ht + o_dot_ht) ** 2, 1e-9)
+        p_trans = (1.0 - F_ht) * nd.pdf_m(dist, wi_up, ht_up, alpha) * jac_t
+        pdf = jnp.where(k == ROUGH_DIELECTRIC,
+                        jnp.where(opp, p_trans, p_refl), pdf)
 
-    pdf = jnp.where((k == NDF_BSDF) & (czi > 0) & (czo > 0), p_spec, pdf)
+    if has(PHONG):
+        # phong: diffuse_ratio mix of cosine and (e+1)/(2pi) cos^e lobe
+        e = jnp.maximum(tlookup(table.p0, bi), 1.0)
+        dr = jnp.clip(tlookup(table.p1, bi), 0.0, 1.0)
+        cos_r = jnp.clip(-wi[..., 0] * wo[..., 0] - wi[..., 1] * wo[..., 1]
+                         + czi * czo, 0.0, 1.0)
+        p_ph = (dr * p_cos + (1.0 - dr) * (e + 1.0) / (2.0 * jnp.pi)
+                * jnp.power(cos_r, e))
+        pdf = jnp.where((k == PHONG) & (czi > 0) & (czo > 0), p_ph, pdf)
+
+    if has(DIFFUSE_TRANSMISSION):
+        T = jnp.clip(tlookup(table.p0, bi), 0.0, 1.0)
+        p_dt = jnp.abs(czo) / jnp.pi * jnp.where(opp, T, 1.0 - T)
+        pdf = jnp.where(k == DIFFUSE_TRANSMISSION, p_dt, pdf)
+
+    if has(NDF_BSDF):
+        pdf = jnp.where((k == NDF_BSDF) & (czi > 0) & (czo > 0), p_spec, pdf)
 
     # fiber BCSDFs: pdf == azimuthal*longitudinal shape (RoughWireBcsdf
     # .cpp:162-175, LambertianFiberBcsdf.cpp:64-69, HairBcsdf::pdf)
@@ -455,212 +506,221 @@ def _sample_simple(table, bi, wi, u):
     """Sample wo given wi in local frame; u is [>=5] uniforms.
 
     Returns dict(wo, weight[3], pdf, specular(bool), valid(bool)).
-    The medium-boundary dielectric handles refraction with relative IOR."""
+    The medium-boundary dielectric handles refraction with relative IOR.
+    Each lobe compiles only when its kind is in table.kinds_static
+    (_kind_gate): per-kind entries are folded most-specific-last."""
     k = tlookup(table.kind, bi)
     albedo = tlookup(table.albedo, bi)
     czi = wi[..., 2]
+    has = lambda *kk: _kind_gate(table, *kk)  # noqa: E731
+    _T = jnp.ones((), bool)
 
-    # diffuse: cosine hemisphere
+    # diffuse: cosine hemisphere (also the default wo and several lobes' base)
     wo_d = cosine_hemisphere(u[0], u[1])
     pdf_d = jnp.maximum(wo_d[..., 2], 1e-6) / jnp.pi
-    w_lam = albedo
-    f_on = eval_bsdf(table, bi, wi, wo_d)
-    w_on = f_on / jnp.maximum(pdf_d, 1e-12)[..., None]
+    diffuse_ok = czi > 0
 
-    # mirror (MirrorBsdf.cpp:31-48)
+    # mirror direction (mirror/conductor/dielectric/plastic/thin-sheet/phong)
     wo_m = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
-    w_m = albedo
+    wo_f = -wi  # forward
 
-    # conductor (ConductorBsdf)
-    F_c = conductor_fresnel(tlookup(table.eta, bi), tlookup(table.k, bi),
-                            jnp.abs(czi)[..., None])
-    w_c = albedo * F_c
+    # (cond, wo, weight, pdf, specular, valid) per kind present
+    entries = [(k == LAMBERT, wo_d, albedo, pdf_d, ~_T, diffuse_ok)]
 
-    # dielectric (DielectricBsdf): reflect or refract by Fresnel
-    eta_rel = jnp.where(czi < 0.0, tlookup(table.ior, bi), 1.0 / tlookup(table.ior, bi))
-    F_d, cos_t = dielectric_fresnel(eta_rel, jnp.abs(czi))
-    reflect = (u[2] < F_d) | ~tlookup(table.enable_refraction, bi)
-    wo_refl = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
-    wo_refr = jnp.stack([-wi[..., 0] * eta_rel, -wi[..., 1] * eta_rel,
-                         -jnp.sign(czi) * cos_t], axis=-1)
-    wo_di = jnp.where(reflect[..., None], wo_refl, wo_refr)
-    w_di = albedo  # weight 1 * albedo; Fresnel handled by RR choice
+    if has(OREN_NAYAR):
+        f_on = eval_bsdf(table, bi, wi, wo_d)
+        w_on = f_on / jnp.maximum(pdf_d, 1e-12)[..., None]
+        entries.append((k == OREN_NAYAR, wo_d, w_on, pdf_d, ~_T, diffuse_ok))
 
-    # forward
-    wo_f = -wi
-    w_f = jnp.ones(3)
+    if has(MIRROR):
+        # mirror (MirrorBsdf.cpp:31-48)
+        entries.append((k == MIRROR, wo_m, albedo, 1.0, _T, _T))
+
+    if has(CONDUCTOR):
+        F_c = conductor_fresnel(tlookup(table.eta, bi), tlookup(table.k, bi),
+                                jnp.abs(czi)[..., None])
+        entries.append((k == CONDUCTOR, wo_m, albedo * F_c, 1.0, _T, _T))
+
+    if has(DIELECTRIC):
+        # dielectric (DielectricBsdf): reflect or refract by Fresnel
+        eta_rel = jnp.where(czi < 0.0, tlookup(table.ior, bi),
+                            1.0 / tlookup(table.ior, bi))
+        F_d, cos_t = dielectric_fresnel(eta_rel, jnp.abs(czi))
+        reflect = (u[2] < F_d) | ~tlookup(table.enable_refraction, bi)
+        wo_refr = jnp.stack([-wi[..., 0] * eta_rel, -wi[..., 1] * eta_rel,
+                             -jnp.sign(czi) * cos_t], axis=-1)
+        wo_di = jnp.where(reflect[..., None], wo_m, wo_refr)
+        # weight 1 * albedo; Fresnel handled by RR choice
+        entries.append((k == DIELECTRIC, wo_di, albedo, 1.0, _T, _T))
+
+    if has(FORWARD):
+        entries.append((k == FORWARD, wo_f, jnp.ones(3), 1.0, _T, _T))
 
     # ---- microfacet lobes -------------------------------------------------
-    alpha = jnp.maximum(tlookup(table.roughness, bi), 1e-3)
-    dist = tlookup(table.dist, bi)
-    sgn = jnp.sign(jnp.where(czi == 0, 1.0, czi))
-    wi_up = jnp.stack([wi[..., 0], wi[..., 1], jnp.abs(czi)], axis=-1)
-    m_g = nd.sample_vndf_ggx(wi_up, alpha, u[2], u[3])
-    m_b = nd.sample_vndf_beckmann(wi_up, alpha, u[2], u[3])
-    m_up = jnp.where(dist == nd.GGX, m_g, m_b)
-    i_dot_m = jnp.sum(wi_up * m_up, axis=-1)
-    pdf_m_up = nd.pdf_m(dist, wi_up, m_up, alpha)
-    # energy weight of m-sampling: f_r*cos/pdf with F=1 (Fresnel applied
-    # by each lobe).  GGX VNDF: G2/G1; Beckmann D-sampling: Walter weight.
-    wo_r_up = nd.reflect(wi_up, m_up)
-    G2r = nd.g2(dist, wi_up, wo_r_up, m_up, alpha)
-    G1r = jnp.maximum(nd.g1(dist, wi_up, m_up, alpha), 1e-6)
-    w_vndf = G2r / G1r
-    w_walter = (jnp.abs(i_dot_m) * G2r
-                / jnp.maximum(jnp.abs(czi) * jnp.abs(m_up[..., 2]), 1e-6))
-    w_micro = jnp.where(dist == nd.GGX, w_vndf, w_walter)
-    wo_rc = jnp.stack([wo_r_up[..., 0], wo_r_up[..., 1],
-                       wo_r_up[..., 2] * sgn], axis=-1)
-    pdf_rc = pdf_m_up / jnp.maximum(4.0 * jnp.abs(i_dot_m), 1e-9)
-    rc_ok = wo_r_up[..., 2] > 1e-5
+    if has(ROUGH_CONDUCTOR, ROUGH_PLASTIC, ROUGH_DIELECTRIC, NDF_BSDF):
+        alpha = jnp.maximum(tlookup(table.roughness, bi), 1e-3)
+        dist = tlookup(table.dist, bi)
+        sgn = jnp.sign(jnp.where(czi == 0, 1.0, czi))
+        wi_up = jnp.stack([wi[..., 0], wi[..., 1], jnp.abs(czi)], axis=-1)
+        m_g = nd.sample_vndf_ggx(wi_up, alpha, u[2], u[3])
+        m_b = nd.sample_vndf_beckmann(wi_up, alpha, u[2], u[3])
+        m_up = jnp.where(dist == nd.GGX, m_g, m_b)
+        i_dot_m = jnp.sum(wi_up * m_up, axis=-1)
+        pdf_m_up = nd.pdf_m(dist, wi_up, m_up, alpha)
+        # energy weight of m-sampling: f_r*cos/pdf with F=1 (Fresnel applied
+        # by each lobe).  GGX VNDF: G2/G1; Beckmann D-sampling: Walter.
+        wo_r_up = nd.reflect(wi_up, m_up)
+        G2r = nd.g2(dist, wi_up, wo_r_up, m_up, alpha)
+        G1r = jnp.maximum(nd.g1(dist, wi_up, m_up, alpha), 1e-6)
+        w_vndf = G2r / G1r
+        w_walter = (jnp.abs(i_dot_m) * G2r
+                    / jnp.maximum(jnp.abs(czi) * jnp.abs(m_up[..., 2]), 1e-6))
+        w_micro = jnp.where(dist == nd.GGX, w_vndf, w_walter)
+        wo_rc = jnp.stack([wo_r_up[..., 0], wo_r_up[..., 1],
+                           wo_r_up[..., 2] * sgn], axis=-1)
+        pdf_rc = pdf_m_up / jnp.maximum(4.0 * jnp.abs(i_dot_m), 1e-9)
+        rc_ok = wo_r_up[..., 2] > 1e-5
 
-    F_mc = conductor_fresnel(tlookup(table.eta, bi), tlookup(table.k, bi),
-                             jnp.abs(i_dot_m)[..., None])
-    w_rc = albedo * F_mc * w_micro[..., None]
+    if has(ROUGH_CONDUCTOR):
+        F_mc = conductor_fresnel(tlookup(table.eta, bi), tlookup(table.k, bi),
+                                 jnp.abs(i_dot_m)[..., None])
+        entries.append((k == ROUGH_CONDUCTOR, wo_rc,
+                        albedo * F_mc * w_micro[..., None], pdf_rc, ~_T,
+                        rc_ok & diffuse_ok))
 
-    # plastic (smooth): Fresnel-weighted dirac spec + diffuse
-    # (PlasticBsdf: substrate with internal-scattering compensation)
-    ior = tlookup(table.ior, bi)
-    F_i, _ = dielectric_fresnel(1.0 / ior, jnp.abs(czi))
-    F_dr = _diffuse_fresnel(ior)
-    spec_choice = u[2] < F_i
-    czo_d = jnp.maximum(wo_d[..., 2], 0.0)
-    F_od, _ = dielectric_fresnel(1.0 / ior, czo_d)
-    w_pl_diff = (albedo * (1.0 - F_od)[..., None]
-                 / jnp.maximum(1.0 - albedo * F_dr, 1e-3))
-    wo_pl = jnp.where(spec_choice[..., None], wo_m, wo_d)
-    w_pl = jnp.where(spec_choice[..., None], jnp.ones(3), w_pl_diff)
-    pdf_pl = jnp.where(spec_choice, 1.0, (1.0 - F_i) * pdf_d)
+    if has(PLASTIC, ROUGH_PLASTIC, ROUGH_DIELECTRIC, THIN_SHEET):
+        ior = tlookup(table.ior, bi)
 
-    # rough plastic: microfacet spec (chosen with prob F_i) + diffuse.
-    # The two lobes OVERLAP in direction space, so the estimator weight is
-    # f(wi,wo)/pdf_mixture(wi,wo) — conditional cancellation would be wrong.
-    wo_rp = jnp.where(spec_choice[..., None], wo_rc, wo_d)
-    f_rp_at = eval_bsdf(table, bi, wi, wo_rp)
-    pdf_rp = pdf_bsdf(table, bi, wi, wo_rp)
-    w_rp = f_rp_at / jnp.maximum(pdf_rp, 1e-9)[..., None]
-    rp_ok = (jnp.where(spec_choice, rc_ok, czi != 0)
-             & (pdf_rp > 1e-9) & (wo_rp[..., 2] > 0))
+    if has(PLASTIC, ROUGH_PLASTIC):
+        F_i, _ = dielectric_fresnel(1.0 / ior, jnp.abs(czi))
+        spec_choice = u[2] < F_i
 
-    # rough dielectric (Walter 2007): reflect/refract through sampled m
-    eta_rel2 = jnp.where(czi < 0.0, ior, 1.0 / ior)
-    F_rm, cos_tm = dielectric_fresnel(eta_rel2, jnp.abs(i_dot_m))
-    refl_rd = (u[2] < F_rm) | ~tlookup(table.enable_refraction, bi)
-    wo_rd_refr_up = (eta_rel2[..., None] * (-wi_up)
-                     + (eta_rel2 * jnp.abs(i_dot_m) - cos_tm)[..., None]
-                     * m_up)
-    wo_rd_up = jnp.where(refl_rd[..., None], wo_r_up, wo_rd_refr_up)
-    # undo the wi mirroring (z *= sgn) — the transmitted up-frame z is
-    # already negative, so the same flip restores the true frame
-    wo_rd = jnp.stack(
-        [wo_rd_up[..., 0], wo_rd_up[..., 1],
-         wo_rd_up[..., 2] * sgn], axis=-1)
-    G2t = nd.g2(dist, wi_up, wo_rd_refr_up, m_up, alpha)
-    w_micro_t = jnp.where(
-        dist == nd.GGX, G2t / G1r,
-        jnp.abs(i_dot_m) * G2t / jnp.maximum(
-            jnp.abs(czi) * jnp.abs(m_up[..., 2]), 1e-6))
-    w_rd = albedo * jnp.where(refl_rd, w_micro, w_micro_t)[..., None]
-    o_dot_m_t = jnp.abs(jnp.sum(wo_rd_refr_up * m_up, axis=-1))
-    pdf_rd = jnp.where(
-        refl_rd, F_rm * pdf_rc,
-        (1.0 - F_rm) * pdf_m_up * o_dot_m_t
-        / jnp.maximum((eta_rel2 * jnp.abs(i_dot_m) - o_dot_m_t) ** 2, 1e-9))
-    rd_ok = jnp.where(refl_rd, rc_ok,
-                      (cos_tm > 0) & (wo_rd_refr_up[..., 2] < -1e-5))
+    if has(PLASTIC):
+        # plastic (smooth): Fresnel-weighted dirac spec + diffuse
+        # (PlasticBsdf: substrate with internal-scattering compensation)
+        F_dr = _diffuse_fresnel(ior)
+        czo_d = jnp.maximum(wo_d[..., 2], 0.0)
+        F_od, _ = dielectric_fresnel(1.0 / ior, czo_d)
+        w_pl_diff = (albedo * (1.0 - F_od)[..., None]
+                     / jnp.maximum(1.0 - albedo * F_dr, 1e-3))
+        wo_pl = jnp.where(spec_choice[..., None], wo_m, wo_d)
+        w_pl = jnp.where(spec_choice[..., None], jnp.ones(3), w_pl_diff)
+        pdf_pl = jnp.where(spec_choice, 1.0, (1.0 - F_i) * pdf_d)
+        entries.append((k == PLASTIC, wo_pl, w_pl, pdf_pl, spec_choice,
+                        diffuse_ok))
 
-    # thin sheet (ThinSheetBsdf): total multi-bounce reflectance 2R/(1+R)
-    F_ts, _ = dielectric_fresnel(1.0 / ior, jnp.abs(czi))
-    R_tot = 2.0 * F_ts / (1.0 + F_ts)
-    ts_refl = u[2] < R_tot
-    wo_ts = jnp.where(ts_refl[..., None], wo_m, wo_f)
-    w_ts = jnp.ones(3)
+    if has(ROUGH_PLASTIC):
+        # rough plastic: microfacet spec (chosen with prob F_i) + diffuse.
+        # The two lobes OVERLAP in direction space, so the estimator weight
+        # is f(wi,wo)/pdf_mixture(wi,wo) — conditional cancellation is wrong.
+        wo_rp = jnp.where(spec_choice[..., None], wo_rc, wo_d)
+        f_rp_at = eval_bsdf(table, bi, wi, wo_rp)
+        pdf_rp = pdf_bsdf(table, bi, wi, wo_rp)
+        w_rp = f_rp_at / jnp.maximum(pdf_rp, 1e-9)[..., None]
+        rp_ok = (jnp.where(spec_choice, rc_ok, czi != 0)
+                 & (pdf_rp > 1e-9) & (wo_rp[..., 2] > 0))
+        entries.append((k == ROUGH_PLASTIC, wo_rp, w_rp, pdf_rp, ~_T,
+                        rp_ok & diffuse_ok))
 
-    # phong: diffuse_ratio chooses cosine vs cos^e lobe around the mirror dir
-    e = jnp.maximum(tlookup(table.p0, bi), 1.0)
-    dr = jnp.clip(tlookup(table.p1, bi), 0.0, 1.0)
-    ph_glossy = u[2] >= dr
-    phi_g = 2.0 * jnp.pi * u[0]
-    ct_g = jnp.power(jnp.clip(u[1], 1e-9, 1.0), 1.0 / (e + 1.0))
-    st_g = jnp.sqrt(jnp.maximum(1.0 - ct_g * ct_g, 0.0))
-    lobe = jnp.stack([st_g * jnp.cos(phi_g), st_g * jnp.sin(phi_g), ct_g],
-                     axis=-1)
-    # frame around mirror direction
-    mz = wo_m / jnp.sqrt(jnp.maximum(jnp.sum(wo_m * wo_m, axis=-1, keepdims=True), 1e-24))
-    hx = jnp.where(jnp.abs(mz[..., 0:1]) < 0.9,
-                   jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
-    mt = jnp.cross(hx, mz)
-    mt = mt / jnp.sqrt(jnp.maximum(jnp.sum(mt * mt, axis=-1, keepdims=True), 1e-24))
-    mb = jnp.cross(mz, mt)
-    wo_ph_g = (lobe[..., 0:1] * mt + lobe[..., 1:2] * mb
-               + lobe[..., 2:3] * mz)
-    wo_ph = jnp.where(ph_glossy[..., None], wo_ph_g, wo_d)
-    if PHONG in table.kinds_static:
+    if has(ROUGH_DIELECTRIC):
+        # rough dielectric (Walter 2007): reflect/refract through sampled m
+        eta_rel2 = jnp.where(czi < 0.0, ior, 1.0 / ior)
+        F_rm, cos_tm = dielectric_fresnel(eta_rel2, jnp.abs(i_dot_m))
+        refl_rd = (u[2] < F_rm) | ~tlookup(table.enable_refraction, bi)
+        wo_rd_refr_up = (eta_rel2[..., None] * (-wi_up)
+                         + (eta_rel2 * jnp.abs(i_dot_m) - cos_tm)[..., None]
+                         * m_up)
+        wo_rd_up = jnp.where(refl_rd[..., None], wo_r_up, wo_rd_refr_up)
+        # undo the wi mirroring (z *= sgn) — the transmitted up-frame z is
+        # already negative, so the same flip restores the true frame
+        wo_rd = jnp.stack(
+            [wo_rd_up[..., 0], wo_rd_up[..., 1],
+             wo_rd_up[..., 2] * sgn], axis=-1)
+        G2t = nd.g2(dist, wi_up, wo_rd_refr_up, m_up, alpha)
+        w_micro_t = jnp.where(
+            dist == nd.GGX, G2t / G1r,
+            jnp.abs(i_dot_m) * G2t / jnp.maximum(
+                jnp.abs(czi) * jnp.abs(m_up[..., 2]), 1e-6))
+        w_rd = albedo * jnp.where(refl_rd, w_micro, w_micro_t)[..., None]
+        o_dot_m_t = jnp.abs(jnp.sum(wo_rd_refr_up * m_up, axis=-1))
+        pdf_rd = jnp.where(
+            refl_rd, F_rm * pdf_rc,
+            (1.0 - F_rm) * pdf_m_up * o_dot_m_t
+            / jnp.maximum((eta_rel2 * jnp.abs(i_dot_m) - o_dot_m_t) ** 2,
+                          1e-9))
+        rd_ok = jnp.where(refl_rd, rc_ok,
+                          (cos_tm > 0) & (wo_rd_refr_up[..., 2] < -1e-5))
+        entries.append((k == ROUGH_DIELECTRIC, wo_rd, w_rd, pdf_rd, ~_T,
+                        rd_ok))
+
+    if has(THIN_SHEET):
+        # thin sheet (ThinSheetBsdf): total multi-bounce reflectance 2R/(1+R)
+        F_ts, _ = dielectric_fresnel(1.0 / ior, jnp.abs(czi))
+        R_tot = 2.0 * F_ts / (1.0 + F_ts)
+        ts_refl = u[2] < R_tot
+        wo_ts = jnp.where(ts_refl[..., None], wo_m, wo_f)
+        entries.append((k == THIN_SHEET, wo_ts, jnp.ones(3), 1.0, _T, _T))
+
+    if has(PHONG):
+        # phong: diffuse_ratio picks cosine vs cos^e lobe around mirror dir
+        e = jnp.maximum(tlookup(table.p0, bi), 1.0)
+        dr = jnp.clip(tlookup(table.p1, bi), 0.0, 1.0)
+        ph_glossy = u[2] >= dr
+        phi_g = 2.0 * jnp.pi * u[0]
+        ct_g = jnp.power(jnp.clip(u[1], 1e-9, 1.0), 1.0 / (e + 1.0))
+        st_g = jnp.sqrt(jnp.maximum(1.0 - ct_g * ct_g, 0.0))
+        lobe = jnp.stack([st_g * jnp.cos(phi_g), st_g * jnp.sin(phi_g), ct_g],
+                         axis=-1)
+        # frame around mirror direction
+        mz = wo_m / jnp.sqrt(jnp.maximum(
+            jnp.sum(wo_m * wo_m, axis=-1, keepdims=True), 1e-24))
+        hx = jnp.where(jnp.abs(mz[..., 0:1]) < 0.9,
+                       jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+        mt = jnp.cross(hx, mz)
+        mt = mt / jnp.sqrt(jnp.maximum(
+            jnp.sum(mt * mt, axis=-1, keepdims=True), 1e-24))
+        mb = jnp.cross(mz, mt)
+        wo_ph_g = (lobe[..., 0:1] * mt + lobe[..., 1:2] * mb
+                   + lobe[..., 2:3] * mz)
+        wo_ph = jnp.where(ph_glossy[..., None], wo_ph_g, wo_d)
         f_ph_at = _eval_simple(table, bi, wi, wo_ph)
         p_ph_at = _pdf_simple(table, bi, wi, wo_ph)
         w_ph = f_ph_at / jnp.maximum(p_ph_at, 1e-9)[..., None]
         ph_ok = (czi > 0) & (wo_ph[..., 2] > 1e-6) & (p_ph_at > 1e-9)
-    else:  # trace-time gate: keep compiled code free of the extra lobe
-        f_ph_at = jnp.zeros(3)
-        p_ph_at = jnp.ones(())
-        w_ph = jnp.zeros(3)
-        ph_ok = jnp.zeros((), bool)
+        entries.append((k == PHONG, wo_ph, w_ph, p_ph_at, ~_T, ph_ok))
 
-    # diffuse transmission: transmit w.p. T
-    T = jnp.clip(tlookup(table.p0, bi), 0.0, 1.0)
-    dt_trans = u[2] < T
-    side = jnp.sign(jnp.where(czi == 0, 1.0, czi))
-    flip = jnp.where(dt_trans, -side, side)
-    wo_dt = jnp.stack([wo_d[..., 0], wo_d[..., 1], flip * wo_d[..., 2]],
-                      axis=-1)
-    w_dt = albedo
+    if has(DIFFUSE_TRANSMISSION):
+        # diffuse transmission: transmit w.p. T
+        T = jnp.clip(tlookup(table.p0, bi), 0.0, 1.0)
+        dt_trans = u[2] < T
+        side = jnp.sign(jnp.where(czi == 0, 1.0, czi))
+        flip = jnp.where(dt_trans, -side, side)
+        wo_dt = jnp.stack([wo_d[..., 0], wo_d[..., 1], flip * wo_d[..., 2]],
+                          axis=-1)
+        pdf_dt = (jnp.abs(wo_dt[..., 2]) / jnp.pi
+                  * jnp.where(dt_trans, T, 1.0 - T))
+        entries.append((k == DIFFUSE_TRANSMISSION, wo_dt, albedo, pdf_dt,
+                        ~_T, _T))
 
-    # NDF bsdf: visible-normal mirror facet, weight G2/G1 (F = 1)
-    wo_ndf = wo_rc
-    w_ndf = albedo * w_micro[..., None]
+    if has(NDF_BSDF):
+        # NDF bsdf: visible-normal mirror facet, weight G2/G1 (F = 1)
+        entries.append((k == NDF_BSDF, wo_rc, albedo * w_micro[..., None],
+                        pdf_rc, ~_T, rc_ok & diffuse_ok))
 
-    wo = jnp.select([
-        (k == LAMBERT)[..., None] | (k == OREN_NAYAR)[..., None],
-        (k == MIRROR)[..., None], (k == CONDUCTOR)[..., None],
-        (k == DIELECTRIC)[..., None], (k == FORWARD)[..., None],
-        (k == ROUGH_CONDUCTOR)[..., None], (k == PLASTIC)[..., None],
-        (k == ROUGH_PLASTIC)[..., None],
-        (k == ROUGH_DIELECTRIC)[..., None], (k == THIN_SHEET)[..., None],
-        (k == PHONG)[..., None], (k == DIFFUSE_TRANSMISSION)[..., None],
-        (k == NDF_BSDF)[..., None]],
-        [wo_d, wo_m, wo_c := wo_m, wo_di, wo_f,
-         wo_rc, wo_pl, wo_rp, wo_rd, wo_ts, wo_ph, wo_dt, wo_ndf], wo_d)
-    weight = jnp.select([
-        (k == LAMBERT)[..., None], (k == OREN_NAYAR)[..., None],
-        (k == MIRROR)[..., None], (k == CONDUCTOR)[..., None],
-        (k == DIELECTRIC)[..., None], (k == FORWARD)[..., None],
-        (k == ROUGH_CONDUCTOR)[..., None], (k == PLASTIC)[..., None],
-        (k == ROUGH_PLASTIC)[..., None],
-        (k == ROUGH_DIELECTRIC)[..., None], (k == THIN_SHEET)[..., None],
-        (k == PHONG)[..., None], (k == DIFFUSE_TRANSMISSION)[..., None],
-        (k == NDF_BSDF)[..., None]],
-        [w_lam, w_on, w_m, w_c, w_di, w_f,
-         w_rc, w_pl, w_rp, w_rd, w_ts, w_ph, w_dt, w_ndf], jnp.zeros(3))
-    pdf = jnp.select([k == LAMBERT, k == OREN_NAYAR, k == ROUGH_CONDUCTOR,
-                      k == PLASTIC, k == ROUGH_PLASTIC,
-                      k == ROUGH_DIELECTRIC, k == PHONG,
-                      k == DIFFUSE_TRANSMISSION, k == NDF_BSDF],
-                     [pdf_d, pdf_d, pdf_rc, pdf_pl, pdf_rp, pdf_rd,
-                      p_ph_at,
-                      jnp.abs(wo_dt[..., 2]) / jnp.pi
-                      * jnp.where(dt_trans, T, 1.0 - T),
-                      pdf_rc], 1.0)
-    specular = ((k == MIRROR) | (k == CONDUCTOR) | (k == DIELECTRIC)
-                | (k == FORWARD) | (k == THIN_SHEET)
-                | ((k == PLASTIC) & spec_choice))
-    diffuse_ok = czi > 0
-    valid = jnp.select(
-        [(k == LAMBERT) | (k == OREN_NAYAR) | (k == PLASTIC),
-         k == ROUGH_CONDUCTOR, k == ROUGH_PLASTIC, k == ROUGH_DIELECTRIC,
-         k == PHONG, k == NDF_BSDF],
-        [diffuse_ok, rc_ok & diffuse_ok, rp_ok & diffuse_ok, rd_ok,
-         ph_ok, rc_ok & diffuse_ok],
-        k != NULL)
+    # fold (kind conditions are mutually exclusive; defaults match the
+    # pre-gating jnp.select fallbacks: wo_d / 0 / 1 / False / k != NULL)
+    wo, weight = wo_d, jnp.zeros_like(wo_d)
+    pdf = jnp.ones(czi.shape, jnp.float32)
+    specular = jnp.zeros(czi.shape, bool)
+    valid = k != NULL
+    for c, wo_e, w_e, p_e, s_e, v_e in entries:
+        cB = jnp.broadcast_to(c, czi.shape)
+        wo = jnp.where(cB[..., None], wo_e, wo)
+        weight = jnp.where(cB[..., None],
+                           jnp.broadcast_to(w_e, wo_d.shape), weight)
+        pdf = jnp.where(cB, p_e, pdf)
+        specular = jnp.where(cB, s_e, specular)
+        valid = jnp.where(cB, v_e, valid)
 
     # ---- fiber BCSDFs (models/fiber.py; +y tangent, full sphere) ----------
     if any(kk in FIBER_KINDS for kk in table.kinds_static):
