@@ -110,31 +110,50 @@ def render_pass_mlt(scene: Scene, spp_idx, n_chains=4096, n_mutations=32,
         cand_u.append(u_i)
         cand_l.append(l_i)
     b = b_sum / n_bootstrap
-    ls = jnp.stack(cand_l, -1)                       # [C, K]
-    cum = jnp.cumsum(ls, -1)
-    r = trng.uniform(key, jnp.uint32(0xB007)) * cum[:, -1]
-    pick = jnp.sum((cum <= r[:, None]).astype(jnp.int32), -1)
-    pick = jnp.minimum(pick, n_bootstrap - 1)
-    us = jnp.stack(cand_u, 1)                        # [C, K, D]
-    cur_u = jnp.take_along_axis(us, pick[:, None, None], 1)[:, 0]
+    # GLOBAL importance resampling over the full C*K candidate pool
+    # (the reference's bootstrap resample is global too): per-chain
+    # 1-of-K picks approximate the stationary distribution pi ~ luminance
+    # poorly when a few paths carry most luminance (direct light hits),
+    # and the resulting startup transient biases short chains
+    ls = jnp.stack(cand_l, -1).reshape(-1)           # [C*K]
+    cum = jnp.cumsum(ls)
+    r = trng.uniform(key, jnp.uint32(0xB007)) * cum[-1]
+    pick = jnp.minimum(jnp.searchsorted(cum, r, side="right"),
+                       C * n_bootstrap - 1)
+    us = jnp.stack(cand_u, 1).reshape(C * n_bootstrap, D)  # [C*K, D]
+    cur_u = us[pick]
     cur_c, cur_px, cur_py = _trace_u(scene, cur_u, spp_idx)
     cur_l = _lum(cur_c)
 
     film0 = jnp.zeros((cam.res_y * cam.res_x, 3), jnp.float32)
 
+    b_safe = jnp.maximum(b, 1e-12)
+    pL = jnp.float32(p_large)
+
     def step(it, carry):
         u, c, l, pxc, pyc, film = carry
-        prop_u, _big = _mutate(u, key, jnp.uint32(100 + it), p_large)
+        prop_u, big = _mutate(u, key, jnp.uint32(100 + it), p_large)
         prop_c, ppx, ppy = _trace_u(scene, prop_u, spp_idx)
         prop_l = _lum(prop_c)
         a = jnp.where(l > 0.0, jnp.minimum(prop_l / jnp.maximum(l, 1e-12),
                                            1.0),
                       jnp.where(prop_l > 0.0, 1.0, 0.0))
-        # expected-value splatting (KelemenMltTracer.cpp splat weights):
-        # current with (1-a)/l, proposal with a/prop_l, both scaled by b
-        w_cur = jnp.where(l > 0.0, (1.0 - a) / jnp.maximum(l, 1e-12), 0.0)
-        w_prop = jnp.where(prop_l > 0.0, a / jnp.maximum(prop_l, 1e-12),
-                           0.0)
+        # Kelemen COMBINED estimator (KelemenMltTracer.cpp:118-119): the
+        # large-step proposals are simultaneously plain-MC samples, and the
+        # balance heuristic between {MLT chain density l/b, large-step
+        # density p_large} gives
+        #   w_cur  = (1 - a)          / (l/b      + p_large)
+        #   w_prop = (a + isLargeStep) / (prop_l/b + p_large)
+        # This removes the chain-initialization bias of pure-MLT weights
+        # (visible as bright-pixel deficit at small mutation counts) and is
+        # exactly the reference's weighting.
+        den_c = l / b_safe + pL
+        den_p = prop_l / b_safe + pL
+        w_cur = jnp.where(den_c > 0.0, (1.0 - a) / jnp.maximum(den_c, 1e-12),
+                          0.0)
+        w_prop = jnp.where(den_p > 0.0,
+                           (a + big.astype(jnp.float32))
+                           / jnp.maximum(den_p, 1e-12), 0.0)
         film = film.at[pyc * cam.res_x + pxc].add(c * w_cur[:, None])
         film = film.at[ppy * cam.res_x + ppx].add(prop_c * w_prop[:, None])
         ukey = trng.uniform(key, jnp.uint32(0xACC001) + jnp.uint32(it))
@@ -150,9 +169,10 @@ def render_pass_mlt(scene: Scene, spp_idx, n_chains=4096, n_mutations=32,
         0, n_mutations, step,
         (cur_u, cur_c, cur_l, cur_px, cur_py, film0))
     film = out[-1]
-    # histogram estimate of E[I] per pixel: each of the C*n_mutations
-    # mutation steps deposits on average (image mean)/b; normalize so the
-    # film is directly comparable to one render_pass sample
+    # per-pixel estimate: the combined weights already carry the b factor
+    # through l/b; each chain-mutation deposits expected total luminance
+    # b per step, so the film is comparable to one render_pass sample
+    # after n_pix/(C*M)
     n_pix = cam.res_y * cam.res_x
-    scale = b * n_pix / jnp.float32(C * n_mutations)
+    scale = n_pix / jnp.float32(C * n_mutations)
     return film * scale
