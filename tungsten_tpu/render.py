@@ -32,6 +32,44 @@ def scene_hash(path):
         json.dumps(doc, sort_keys=True).encode()).hexdigest()[:16]
 
 
+def _render_tiled(scene, spp, spp_start, film, progress, rows_per):
+    """Row-tiled accumulation for large frames: the wavefront state of a
+    full 1080p pass needs ~32 GB of HBM temp (AOT memory_analysis), so
+    frames above TUNGSTEN_TPU_MAX_RAYS rays per dispatch render in equal
+    row chunks (one compile, bounded memory) — the TPU analog of the
+    reference's TileGenerator (thread/TaskGroup tile loop)."""
+    from .models.integrator import trace
+    H, W = scene.camera.res_y, scene.camera.res_x
+
+    @partial(jax.jit, static_argnames=("n",))
+    def tile_chunk(sc, r0, s0, n):
+        rows = jnp.clip(r0 + jnp.arange(rows_per, dtype=jnp.int32), 0, H - 1)
+        px, py = jnp.meshgrid(jnp.arange(W, dtype=jnp.int32), rows)
+        pxf, pyf = px.reshape(-1), py.reshape(-1)
+
+        def body(i, a):
+            return a + trace(sc, pxf, pyf, s0 + i)
+
+        acc = jax.lax.fori_loop(
+            0, n, body, jnp.zeros((rows_per * W, 3), jnp.float32))
+        return acc.reshape(rows_per, W, 3)
+
+    chunk = 4 if jax.default_backend() != "cpu" else 1
+    for r0 in range(0, H, rows_per):
+        valid = min(rows_per, H - r0)
+        acc = None
+        s = spp_start
+        while s < spp_start + spp:
+            n = min(chunk, spp_start + spp - s)
+            t = tile_chunk(scene, jnp.int32(r0), jnp.int32(s), n)
+            acc = t if acc is None else acc + t
+            s += n
+        film = film.at[r0:r0 + valid].add(acc[:valid])
+        if progress:
+            progress(spp_start + spp - 1, film)
+    return film
+
+
 def render(scene, spp, spp_start=0, film=None, progress=None, sharded=False,
            sampler="independent"):
     """Accumulate spp samples; returns film [H,W,3] (running sum / spp)."""
@@ -40,6 +78,10 @@ def render(scene, spp, spp_start=0, film=None, progress=None, sharded=False,
         film = jnp.zeros((H, W, 3), jnp.float32)
 
     use_qmc = sampler == "sobol"
+    max_rays = int(os.environ.get("TUNGSTEN_TPU_MAX_RAYS", str(1 << 18)))
+    if H * W > max_rays and not sharded and not use_qmc:
+        rows_per = max(1, max_rays // W)
+        return _render_tiled(scene, spp, spp_start, film, progress, rows_per)
     if sharded and len(jax.devices()) > 1:
         mesh = make_render_mesh()
         pass_fn = shard_render_pass(scene, mesh)
