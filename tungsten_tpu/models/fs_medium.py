@@ -44,6 +44,101 @@ def _chunk_key(pss, scene_seed, chunk, salt=0):
 _FAR_ROW = 1.0e5  # masked conditioning rows move here (zero covariance)
 
 
+def _sample_chunk_fast(med, scene_seed, ro_seg, rd, t0, dt, n, carry_val,
+                       carry_grad, have_carry, pss, chunk_idx, u_offset,
+                       gp=None, salt=0):
+    """Renewal/Renewal+ chunk draw as ONE static-block joint solve.
+
+    r4 ran three full conditional/prior MVN solves per chunk (carry,
+    first-chunk, prior fallback) plus a separate (n+2)-row gradient solve —
+    each building its own covariance with the generic 4-way derivative
+    entries.  Here the derivative structure is STATIC (conditioning rows are
+    [p0 value, p0 along-ray derivative]; queries are [n point values,
+    end-point along-ray derivative]), so the covariance is assembled from
+    value/deriv blocks with exactly the jvps needed, the three conditioning
+    variants collapse into row masking of a single 2x2 system, and the carry
+    derivative is drawn JOINTLY with the chunk values (equivalent in
+    distribution to the reference's sample-then-conditioned-grad two-stage,
+    GaussianProcess.cpp:89-132, by the Gaussian chain rule).
+
+    Returns (ts[n], vals[n], end_deriv, ids[n]).
+    """
+    gp = med.gp if gp is None else gp
+    cov_fn = gpmod.make_cov_fn(gp)
+    use_deriv_row = med.cfg.ctxt == sc.CTXT_RENEWAL_PLUS  # static
+
+    # stratified points (FunctionSpaceGaussianProcessMedium.cpp:114-124)
+    i = jnp.arange(n, dtype=jnp.float32)
+    frac = jnp.clip((i - u_offset) / (n - 1), 0.0, 1.0)
+    ts = t0 + dt * 0.1 + (dt * n - dt * 0.1) * frac
+    ts = ts.at[0].set(t0 + dt * 0.1).at[n - 1].set(t0 + dt * n)
+    pts = ro_seg[None, :] + ts[:, None] * rd[None, :]
+
+    key = _chunk_key(pss, scene_seed, chunk_idx, salt)
+    p0 = ro_seg + t0 * rd
+
+    P = jnp.concatenate([p0[None, :], pts])   # [n+1] value points
+    D = jnp.stack([p0, pts[-1]])              # [2] deriv points (dir rd)
+
+    def kd(a, b):
+        return jax.jvp(lambda bb: cov_fn(a, bb), (b,), (rd,))[1]
+
+    def kdd(a, b):
+        return jax.jvp(lambda aa: kd(aa, b), (a,), (rd,))[1]
+
+    K_vv = jax.vmap(lambda a: jax.vmap(lambda b: cov_fn(a, b))(P))(P)
+    K_vd = jax.vmap(lambda a: jax.vmap(lambda b: kd(a, b))(D))(P)  # [n+1,2]
+    K_dd = jax.vmap(lambda a: jax.vmap(lambda b: kdd(a, b))(D))(D)
+
+    m_v, ids_all = gp.mean_and_id(P)
+    g_mean = gp.mean_grad_by_id(D, gp.mean_and_id(D)[1])
+    m_d = jax.vmap(lambda g: dot(g, rd))(g_mean)
+    ids = ids_all[1:]
+
+    # cond rows: [p0 value, p0 deriv]; queries: [pts values, end deriv]
+    s11 = jnp.stack([jnp.stack([K_vv[0, 0], K_vd[0, 0]]),
+                     jnp.stack([K_vd[0, 0], K_dd[0, 0]])])
+    s12 = jnp.concatenate(
+        [jnp.stack([K_vv[0, 1:], K_vd[1:, 0]]),           # [2, n]
+         jnp.stack([K_vd[0, 1], K_dd[0, 1]])[:, None]], axis=1)  # [2, n+1]
+    s22 = jnp.concatenate(
+        [jnp.concatenate([K_vv[1:, 1:], K_vd[1:, 1:2]], axis=1),
+         jnp.concatenate([K_vd[1:, 1:2].T, K_dd[1:2, 1:2]], axis=1)],
+        axis=0)                                            # [n+1, n+1]
+    m1 = jnp.stack([m_v[0], m_d[0]])
+    m2 = jnp.concatenate([m_v[1:], m_d[1:2]])
+
+    # no carry yet: first chunk conditions on a sampled positive start value
+    # (sample_start_value, GaussianProcess.cpp:589-601); later no-carry
+    # chunks fall back to the prior (both rows masked)
+    first = (~have_carry) & (chunk_idx == 0)
+    later = (~have_carry) & (chunk_idx > 0)
+    v0 = jnp.maximum(0.0, gpmod.sample_truncated_normal(
+        m_v[0], jnp.sqrt(jnp.maximum(K_vv[0, 0], 1e-20)), 0.0, key,
+        jnp.uint32(7)))
+    y = jnp.stack([jnp.where(first, v0, carry_val), carry_grad])
+    keep = jnp.stack([~later,
+                      have_carry if use_deriv_row else jnp.asarray(False)])
+
+    scale = jnp.maximum(K_vv[0, 0], 1e-12)
+    s11m = jnp.where(keep[:, None] & keep[None, :], s11,
+                     jnp.eye(2) * scale)
+    s12m = jnp.where(keep[:, None], s12, 0.0)
+    ym = jnp.where(keep, y - m1, 0.0)
+    # closed-form 2x2 solve with relative jitter
+    a_ = s11m[0, 0] + 1e-6 * scale
+    b_ = s11m[0, 1]
+    c_ = s11m[1, 1] + 1e-6 * scale
+    det = jnp.maximum(a_ * c_ - b_ * b_, 1e-20 * scale * scale)
+    inv = jnp.stack([jnp.stack([c_, -b_]), jnp.stack([-b_, a_])]) / det
+    solved = inv @ s12m                                   # [2, n+1]
+    mean = m2 + solved.T @ ym
+    s2 = s22 - s12m.T @ solved
+    sqrt_cov = gpmod._sqrt_psd(0.5 * (s2 + s2.T))
+    joint = gpmod.sample_mvn(mean, sqrt_cov, key, jnp.uint32(11))
+    return ts, joint[:n], joint[n], ids
+
+
 def _sample_chunk(med, scene_seed, ro_seg, rd, t0, dt, n, carry_val,
                   carry_grad, have_carry, pss, chunk_idx, u_offset,
                   ring=None, gp=None, salt=0):
@@ -152,7 +247,7 @@ def _find_crossing(ts, vals, skip_first):
 
 
 def _sample_grad_at(med, scene_seed, ro_seg, rd, ts, vals, cross_idx, t_cross,
-                    off, crossed, pss, gp=None, salt=0):
+                    off, crossed, pss, gp=None, salt=0, end_deriv=None):
     """Conditioned 3D gradient at the segment end (sampleGrad,
     GaussianProcess.cpp:89-132).
 
@@ -161,6 +256,13 @@ def _sample_grad_at(med, scene_seed, ro_seg, rd, ts, vals, cross_idx, t_cross,
     GaussianProcess.cpp:76-87).  Points past the crossing are masked by
     moving them far away (zero covariance — the pinv drops them), matching
     the reference's row truncation.
+
+    `end_deriv`: when supplied (the fast chunk path draws it jointly with
+    the chunk values), the not-crossed case conditions on it instead of
+    sampling a fresh along-ray derivative — keeping the returned gradient
+    consistent with the derivative already carried into the next chunk.
+    r4 ran this whole solve every chunk; it now runs ONCE per ray segment,
+    after the march loop.
     """
     gp = med.gp if gp is None else gp
     cov_fn = gpmod.make_cov_fn(gp)
@@ -191,16 +293,22 @@ def _sample_grad_at(med, scene_seed, ro_seg, rd, ts, vals, cross_idx, t_cross,
     row_dts = jnp.full(n, D_NONE, jnp.int32)
     row_dirs = jnp.broadcast_to(rd, (n, 3))
 
-    # crossing rows (value + derivative); when not crossed only the
-    # derivative row is dropped (reference conditions the full grad on the
-    # plain chunk samples, GaussianProcess.cpp:111-127)
+    # crossing rows (value + derivative); when not crossed the value row is
+    # dropped (it would duplicate the last chunk row) and the derivative row
+    # carries end_deriv if available (else it is dropped too and the
+    # along-ray component is sampled — reference conditions the full grad on
+    # the plain chunk samples, GaussianProcess.cpp:111-127)
+    have_ed = end_deriv is not None
+    ed = end_deriv if have_ed else jnp.float32(0.0)
     extra_pts = jnp.stack([ip, ip])
     extra_dts = jnp.asarray([D_NONE, D_FIRST], jnp.int32)
     extra_dirs = jnp.stack([rd, rd])
     extra_vals = jnp.stack([jnp.where(crossed, v_cross, 0.0),
-                            jnp.where(crossed, dv_cross, 0.0)])
-    extra_pts = jnp.where(crossed, extra_pts,
-                          ro_seg[None, :] + FAR * jnp.array([[1.002], [1.004]]))
+                            jnp.where(crossed, dv_cross, ed)])
+    keep_deriv = jnp.asarray(True) if have_ed else crossed
+    far_pts = ro_seg[None, :] + FAR * jnp.array([[1.002], [1.004]])
+    extra_pts = jnp.where(
+        jnp.stack([crossed, keep_deriv])[:, None], extra_pts, far_pts)
 
     cond_pts = jnp.concatenate([row_pts, extra_pts])
     cond_dts = jnp.concatenate([row_dts, extra_dts])
@@ -217,8 +325,9 @@ def _sample_grad_at(med, scene_seed, ro_seg, rd, ts, vals, cross_idx, t_cross,
         cond_vals)
     key = _chunk_key(pss, scene_seed, jnp.uint32(0xD00D), salt)
     g = gpmod.sample_mvn(mean, sqrt_cov, key, jnp.uint32(23))
-    # crossed: the along-ray derivative is pinned to the crossing derivative
-    gz = jnp.where(crossed, dv_cross, g[2])
+    # crossed: the along-ray derivative is pinned to the crossing derivative;
+    # with a jointly-drawn end_deriv the not-crossed case is pinned too
+    gz = jnp.where(crossed, dv_cross, ed if have_ed else g[2])
     grad = frame_to_world(tg, bt, rd, jnp.stack([g[0], g[1], gz]))
     return grad, v_cross, dv_cross
 
@@ -274,6 +383,67 @@ def sample_distance_fs_one(med, scene_seed, ro, rd, near, far, first_scatter,
                    med.step_size, dt_full)
     max_chunks = 64
     is_global = med.cfg.ctxt == sc.CTXT_GLOBAL
+    is_renewal = med.cfg.ctxt in (sc.CTXT_RENEWAL, sc.CTXT_RENEWAL_PLUS)
+
+    if is_renewal:
+        # fast path: one joint solve per chunk, 3D gradient once after the
+        # loop (see _sample_chunk_fast)
+        def cond_f(c):
+            return c["running"] & (c["chunk"] < max_chunks)
+
+        def body_f(c):
+            ts, vals, end_deriv, ids = _sample_chunk_fast(
+                med, scene_seed, ro, rd, c["t0"], dt, n, c["carry_val"],
+                c["carry_grad"], c["have_carry"], pss, c["chunk"], u_offset)
+            skip_first = (~first_scatter) & (c["chunk"] == 0)
+            crossed, idx, t_cross, _v0, _v1, off = _find_crossing(
+                ts, vals, skip_first)
+            v_cross = vals[idx] + (vals[idx + 1] - vals[idx]) * off
+            dtl = ts[idx] - ts[idx + 1]
+            dv_cross = (vals[idx] - vals[idx + 1]) / jnp.where(
+                dtl == 0, 1.0, dtl)
+            t_end = ts[-1]
+            running = (~crossed) & (t_end < far - 1e-6)
+            return {
+                "t0": t_end,
+                "chunk": c["chunk"] + jnp.uint32(1),
+                "running": running,
+                "hit": crossed,
+                "t_hit": jnp.where(crossed, t_cross, far),
+                "carry_val": jnp.where(crossed, v_cross, vals[-1]),
+                "carry_grad": jnp.where(crossed, dv_cross, end_deriv),
+                "have_carry": jnp.asarray(True),
+                "gp_id": jnp.where(crossed, ids[idx], ids[-1]),
+                "ts": ts, "vals": vals, "idx": idx, "off": off,
+                "end_deriv": end_deriv,
+            }
+
+        init_f = {
+            "t0": near, "chunk": jnp.uint32(0),
+            "running": active,
+            "hit": jnp.asarray(False),
+            "t_hit": far,
+            "carry_val": carry_val,
+            "carry_grad": carry_grad,
+            "have_carry": have_carry,
+            "gp_id": jnp.int32(0),
+            # benign spread-out init so the post-loop solve stays regular
+            # for rays whose loop never ran
+            "ts": near + jnp.arange(1, n + 1, dtype=jnp.float32),
+            "vals": jnp.ones(n),
+            "idx": jnp.int32(0), "off": jnp.float32(0.0),
+            "end_deriv": jnp.float32(0.0),
+        }
+        out = jax.lax.while_loop(cond_f, body_f, init_f)
+        grad, _vc, _dv = _sample_grad_at(
+            med, scene_seed, ro, rd, out["ts"], out["vals"], out["idx"],
+            out["t_hit"], out["off"], out["hit"], pss,
+            end_deriv=out["end_deriv"])
+        return {"hit": out["hit"] & active, "t": out["t_hit"],
+                "grad": grad, "end_val": out["carry_val"],
+                "gp_id": out["gp_id"],
+                "ring_pts": ring_pts, "ring_vals": ring_vals,
+                "ring_dts": ring_dts, "ring_n": ring_n}
 
     def cond(c):
         return c["running"] & (c["chunk"] < max_chunks)
@@ -386,12 +556,19 @@ def sample_distance_fs_one_csg(med, scene_seed, ro, rd, near, far,
     def cond(c):
         return c["running"] & (c["chunk"] < max_chunks)
 
+    def _interp(vals, idx, off):
+        return vals[idx] + (vals[idx + 1] - vals[idx]) * off
+
+    def _dv(ts, vals, idx):
+        dtl = ts[idx] - ts[idx + 1]
+        return (vals[idx] - vals[idx + 1]) / jnp.where(dtl == 0, 1.0, dtl)
+
     def body(c):
         t0 = c["t0"]
-        ts, vals_l, _ = _sample_chunk(
+        ts, vals_l, ed_l, _ = _sample_chunk_fast(
             med, scene_seed, ro, rd, t0, dt, n, c["cv_l"], c["cg_l"],
             c["have_carry"], pss, c["chunk"], u_offset, gp=gp_l, salt=0)
-        ts_r, vals_r, _ = _sample_chunk(
+        _ts_r, vals_r, ed_r, _ = _sample_chunk_fast(
             med, scene_seed, ro, rd, t0, dt, n, c["cv_r"], c["cg_r"],
             c["have_carry"], pss, c["chunk"], u_offset, gp=gp_r,
             salt=_CSG_SALT)
@@ -401,38 +578,30 @@ def sample_distance_fs_one_csg(med, scene_seed, ro, rd, near, far,
         skip_first = (~first_scatter) & (c["chunk"] == 0)
         crossed, idx, t_cross, v0, v1, off = _find_crossing(ts, vals,
                                                             skip_first)
-        # per-child gradients, each conditioned on its own realization rows
-        # + its own interpolated crossing rows (same offsetT for both:
-        # GPRealNodeCsg::makeIntersect passes p/offsetT/dt to both children)
-        grad_l, vc_l, _dv_l = _sample_grad_at(
-            med, scene_seed, ro, rd, ts, vals_l, idx, t_cross, off, crossed,
-            pss, gp=gp_l, salt=0)
-        grad_r, vc_r, _dv_r = _sample_grad_at(
-            med, scene_seed, ro, rd, ts, vals_r, idx, t_cross, off, crossed,
-            pss, gp=gp_r, salt=_CSG_SALT)
         pick = jnp.where(crossed, ids[idx], ids[-1])
-        grad = jnp.where(pick == 0, grad_l, grad_r)
-
         t_end = ts[-1]
         reached_far = t_end >= far - 1e-6
         running = (~crossed) & (~reached_far)
         # each child's carry: its own value at the stop point (crossing
-        # interp or chunk end) + its own sampled gradient
+        # interp or chunk end) + its own jointly-drawn end derivative
+        # (crossing: its own interpolated crossing slope — the full 3D
+        # gradients are sampled ONCE after the loop)
         return {
             "t0": t_end,
             "chunk": c["chunk"] + jnp.uint32(1),
             "running": running,
             "hit": crossed,
             "t_hit": jnp.where(crossed, t_cross, far),
-            "grad": grad,
-            "cv_l": jnp.where(crossed, vc_l, vals_l[-1]),
-            "cg_l": dot(grad_l, rd),
-            "cv_r": jnp.where(crossed, vc_r, vals_r[-1]),
-            "cg_r": dot(grad_r, rd),
-            "grad_l": grad_l,
-            "grad_r": grad_r,
+            "cv_l": jnp.where(crossed, _interp(vals_l, idx, off),
+                              vals_l[-1]),
+            "cg_l": jnp.where(crossed, _dv(ts, vals_l, idx), ed_l),
+            "cv_r": jnp.where(crossed, _interp(vals_r, idx, off),
+                              vals_r[-1]),
+            "cg_r": jnp.where(crossed, _dv(ts, vals_r, idx), ed_r),
             "have_carry": jnp.asarray(True),
             "gp_id": pick,
+            "ts": ts, "vals_l": vals_l, "vals_r": vals_r,
+            "idx": idx, "off": off, "ed_l": ed_l, "ed_r": ed_r,
         }
 
     init = {
@@ -440,15 +609,29 @@ def sample_distance_fs_one_csg(med, scene_seed, ro, rd, near, far,
         "running": active,
         "hit": jnp.asarray(False),
         "t_hit": far,
-        "grad": jnp.zeros(3),
         "cv_l": carry_val_l, "cg_l": carry_grad_l,
         "cv_r": carry_val_r, "cg_r": carry_grad_r,
-        "grad_l": jnp.zeros(3), "grad_r": jnp.zeros(3),
         "have_carry": have_carry,
         "gp_id": jnp.int32(0),
+        "ts": near + jnp.arange(1, n + 1, dtype=jnp.float32),
+        "vals_l": jnp.ones(n), "vals_r": jnp.ones(n),
+        "idx": jnp.int32(0), "off": jnp.float32(0.0),
+        "ed_l": jnp.float32(0.0), "ed_r": jnp.float32(0.0),
     }
     out = jax.lax.while_loop(cond, body, init)
+    # per-child 3D gradients, each conditioned on its own realization rows
+    # + its own interpolated crossing rows (same offsetT for both:
+    # GPRealNodeCsg::makeIntersect passes p/offsetT/dt to both children)
+    grad_l, _vc, _dv_ = _sample_grad_at(
+        med, scene_seed, ro, rd, out["ts"], out["vals_l"], out["idx"],
+        out["t_hit"], out["off"], out["hit"], pss, gp=gp_l, salt=0,
+        end_deriv=out["ed_l"])
+    grad_r, _vc, _dv_ = _sample_grad_at(
+        med, scene_seed, ro, rd, out["ts"], out["vals_r"], out["idx"],
+        out["t_hit"], out["off"], out["hit"], pss, gp=gp_r,
+        salt=_CSG_SALT, end_deriv=out["ed_r"])
+    grad = jnp.where(out["gp_id"] == 0, grad_l, grad_r)
     return {"hit": out["hit"] & active, "t": out["t_hit"],
-            "grad": out["grad"], "gp_id": out["gp_id"],
-            "val_l": out["cv_l"], "grad_l": out["grad_l"],
-            "val_r": out["cv_r"], "grad_r": out["grad_r"]}
+            "grad": grad, "gp_id": out["gp_id"],
+            "val_l": out["cv_l"], "grad_l": grad_l,
+            "val_r": out["cv_r"], "grad_r": grad_r}

@@ -342,6 +342,8 @@ def march(med, value_at, ro, rd, near, far, state, pss, u_jitter, active,
             "first_block": jnp.zeros_like(c["first_block"]),
             "crossed": c["crossed"] | any_flip,
             "t_hi": jnp.where(any_flip, t_hi, c["t_hi"]),
+            "f_hi": jnp.where(any_flip, f_hi, c["f_hi"]),
+            "f_lo": jnp.where(any_flip, f_lo, c["f_lo"]),
             "marching": c["marching"] & ~any_flip & (t + step * S < far),
         }
 
@@ -351,6 +353,7 @@ def march(med, value_at, ro, rd, near, far, state, pss, u_jitter, active,
         "first_block": jnp.ones(R, bool),
         "crossed": jnp.zeros(R, bool),
         "t_hi": far,
+        "f_hi": jnp.zeros(R), "f_lo": f0,
         "marching": active & (t1 < far),
     }
     out = jax.lax.while_loop(cond, body, init)
@@ -362,17 +365,31 @@ def march(med, value_at, ro, rd, near, far, state, pss, u_jitter, active,
         return {"hit": crossed & active, "t": jnp.where(crossed, out["t_hi"],
                                                         far), "sign0": sign0}
 
-    # bisection toward the first crossing inside [t_hi - step, t_hi]
-    def bis(_, c):
-        lo, hi = c
-        mid = 0.5 * (lo + hi)
+    # Illinois false-position toward the first crossing inside
+    # [t_hi - step, t_hi].  The march body already captured the bracket
+    # values (f_lo on the start side, f_hi on the crossed side), so the
+    # secant estimate converges superlinearly on the smooth GP field —
+    # 6 evaluations replace r4's 12 sign-only bisection halvings at equal
+    # or better localization (the reference's own refinement is the
+    # value-driven intp*=0.9 secant shrink,
+    # media/SparseConvolutionNoiseMedium.cpp:143-160).
+    def falsi(_, c):
+        lo, hi, flo, fhi = c
+        denom = flo - fhi
+        mid_s = lo + flo * (hi - lo) / jnp.where(jnp.abs(denom) < 1e-30,
+                                                 1.0, denom)
+        mid = jnp.where((jnp.abs(denom) < 1e-30) | (mid_s <= lo)
+                        | (mid_s >= hi), 0.5 * (lo + hi), mid_s)
         fm, _ = value_at(jnp.where(crossed, mid, near))
         on_start_side = jnp.where(fm < 0, -1, 1) == sign0
         return (jnp.where(crossed & on_start_side, mid, lo),
-                jnp.where(crossed & ~on_start_side, mid, hi))
+                jnp.where(crossed & ~on_start_side, mid, hi),
+                jnp.where(on_start_side, fm, flo * 0.5),
+                jnp.where(on_start_side, fhi * 0.5, fm))
 
     lo0 = jnp.maximum(out["t_hi"] - step, near)
-    lo, hi = jax.lax.fori_loop(0, 12, bis, (lo0, out["t_hi"]))
+    lo, hi, _, _ = jax.lax.fori_loop(
+        0, 6, falsi, (lo0, out["t_hi"], out["f_lo"], out["f_hi"]))
     t_hit = jnp.where(crossed, hi, far)
     return {"hit": crossed & active, "t": jnp.where(active, t_hit, far),
             "sign0": sign0}
@@ -782,12 +799,22 @@ def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
     if med.kind == GPIS_WEIGHT_SPACE and med.ws_sphere_trace:
         # step_size == 0: adaptive range-bounded sphere trace instead of the
         # fixed-step march (WeightSpaceGaussianProcessMedium.cpp:186-235)
-        def one_st(o, d, nr, fr, ps, fs):
-            real = _ws_real(med_d, ps, scene_seed)
-            nr2 = nr + jnp.where(fs, 0.0, 2e-3)  # skip the start surface
-            return ws.sphere_trace_segment(real, med_d.gp, o, d, nr2, fr)
-        hit_st, t_st = jax.vmap(one_st)(ro_d, rd_d, near_d, far_d, pss,
-                                        state_d.first_scatter)
+        near_st = near_d + jnp.where(state_d.first_scatter, 0.0,
+                                     2e-3)  # skip the start surface
+        from ..ops import ws_trace_pallas as wst
+        from ..ops.sparse_conv_fast import _use_pallas as _scp_on
+        if wst.supports(med_d.gp) and _scp_on():
+            import jax as _jax
+            real_b = jax.vmap(lambda ps: _ws_real(med_d, ps, scene_seed))(
+                pss)
+            hit_st, t_st = wst.sphere_trace_batch(
+                real_b, med_d.gp, ro_d, rd_d, near_st, far_d,
+                interpret=_jax.default_backend() == "cpu")
+        else:
+            def one_st(o, d, nr, fr, ps):
+                real = _ws_real(med_d, ps, scene_seed)
+                return ws.sphere_trace_segment(real, med_d.gp, o, d, nr, fr)
+            hit_st, t_st = jax.vmap(one_st)(ro_d, rd_d, near_st, far_d, pss)
         m = {"hit": hit_st & active, "t": jnp.where(active, t_st, far_d),
              "sign0": jnp.ones_like(t_st)}
     else:
@@ -796,27 +823,39 @@ def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
 
     hit = m["hit"]
     t = m["t"]
-    ip = ro + t[:, None] * rd
-    grad = sample_gradient(med, scene_seed, ip, t - near, rd, state, pss)
     f_at_t, gid_at_t = value_at(jax.lax.stop_gradient(t))
     end_val = jax.lax.stop_gradient(f_at_t)
 
     # Differentiable crossing: the march output satisfies f(t*, theta) ~= 0;
     # reattach hyperparameter gradients via the implicit function theorem
     # dt*/dtheta = -(df/dtheta)/(df/dt) as one Newton step around the detached
-    # root (df/dt = grad . rd).  This mirrors the secant refinement's fixed
-    # point (SparseConvolutionNoiseMedium.cpp:143-160) and is the standard
+    # root.  This mirrors the secant refinement's fixed point
+    # (SparseConvolutionNoiseMedium.cpp:143-160) and is the standard
     # differentiable-SDF-rendering estimator (SURVEY.md §7 design stance).
+    # df/dt comes from the detached evaluator's own t-derivative (one VJP of
+    # the realization; f_i depends only on t_i so the ones-cotangent pull
+    # back IS the per-ray derivative) so that the conditioned gradient below
+    # can be sampled at the REATTACHED point: r4 evaluated sample_gradient at
+    # the detached root, severing the d(normal)/dtheta = grad_p(normal).dt*
+    # chain that feeds renewal conditioning and shading frames — the l
+    # (lengthScale) image gradient came out with the wrong SIGN vs FD
+    # (r5 artifacts/debug_adfd_r5.py; sigma was unaffected because the
+    # missing term is small for pure amplitude changes).
     from ..utils.nanprobe import nanprobe as _np_
-    grad = _np_(grad, "sd_grad")
     f_at_t = _np_(f_at_t, "sd_f_at_t")
-    dfdt = jax.lax.stop_gradient(dot(grad, rd))
+    _, vjp_t = jax.vjp(lambda tt: value_at_d(tt)[0],
+                       jax.lax.stop_gradient(t))
+    dfdt = jax.lax.stop_gradient(vjp_t(jnp.ones_like(t))[0])
     ift_ok = hit & (jnp.abs(dfdt) > 1e-3)  # grazing crossings: detach
     corr = ((f_at_t - jax.lax.stop_gradient(f_at_t))
             / jnp.where(ift_ok, dfdt, 1.0))
     corr = _np_(corr, "sd_corr")
     t = t - jnp.where(ift_ok, corr, 0.0)
     ip = ro + t[:, None] * rd
+    # conditioned gradient at the reattached crossing (primal identical to
+    # the detached point — corr's primal is 0)
+    grad = sample_gradient(med, scene_seed, ip, t - near, rd, state, pss)
+    grad = _np_(grad, "sd_grad")
 
     grad_ok = jnp.isfinite(jnp.sum(grad, axis=-1))
     wrong_side = hit & (dot(grad, rd) > 0.0)

@@ -98,12 +98,14 @@ def _sqrt_psd(a, jitter=1e-6):
         w, v = jnp.linalg.eigh(a)
         fb = v * jnp.sqrt(jnp.maximum(w, 1e-12))[None, :]
         return jnp.where(ok, jnp.where(jnp.isfinite(chol), chol, 0.0), fb)
+    # two-rung ladder: base + one escalated fallback (r5 — the r4 ladder ran
+    # 4 unconditional factorizations; the per-chunk FS solve is O(n^3)-bound
+    # so each rung is ~25% of the solve.  1e-3 relative is the largest rung
+    # the r4 ladder could reach anyway)
     out = jnp.where(jnp.isfinite(chol), chol, 0.0)
-    for j in (1e-5, 1e-4, 1e-3):
-        cj = jnp.linalg.cholesky(a + j * scale * eye)
-        okj = jnp.all(jnp.isfinite(cj))
-        out = jnp.where(ok, out, jnp.where(okj, cj, 0.0))
-        ok = ok | okj
+    cj = jnp.linalg.cholesky(a + 1e-3 * scale * eye)
+    okj = jnp.all(jnp.isfinite(cj))
+    out = jnp.where(ok, out, jnp.where(okj, cj, 0.0))
     return out
 
 
@@ -123,17 +125,39 @@ def pseudo_inverse(a, eps_scale=1e-6):
     eye = jnp.eye(n, dtype=a.dtype)
     # relative jitter ladder — the r3 floor of 1.0 made the fallback ridge
     # 1e-2 ABSOLUTE, drowning small-variance conditioning systems on TPU
-    # (see _sqrt_psd)
+    # (see _sqrt_psd); two rungs since r5 (same rationale as _sqrt_psd)
     scale = jnp.maximum(jnp.trace(jnp.abs(a)) / n, 1e-12)
     c = jnp.zeros_like(a)
     ok = jnp.zeros((), bool)
-    for j in (1e-5, 1e-4, 1e-3, 1e-2):
+    for j in (1e-5, 1e-2):
         cj = jnp.linalg.cholesky(a + j * scale * eye)
         okj = jnp.all(jnp.isfinite(cj))
         c = jnp.where(ok, c, jnp.where(okj, cj, 0.0))
         ok = ok | okj
     from jax.scipy.linalg import cho_solve
     return cho_solve((c, True), eye)
+
+
+def psd_solve(a, b, eps_scale=1e-6):
+    """a^+ @ b for symmetric PSD a without forming the explicit inverse.
+    CPU: eigendecomposition pseudo-inverse (the reference's robust solver,
+    GaussianProcess.cpp:656-662).  TPU: two-rung relative-jitter Cholesky +
+    cho_solve on b directly — for b with k << n columns this does O(n^2 k)
+    triangular work instead of pseudo_inverse's O(n^3) explicit inverse."""
+    n = a.shape[-1]
+    if _use_eigh():
+        return pseudo_inverse(a, eps_scale) @ b
+    eye = jnp.eye(n, dtype=a.dtype)
+    scale = jnp.maximum(jnp.trace(jnp.abs(a)) / n, 1e-12)
+    c = jnp.zeros_like(a)
+    ok = jnp.zeros((), bool)
+    for j in (1e-5, 1e-2):
+        cj = jnp.linalg.cholesky(a + j * scale * eye)
+        okj = jnp.all(jnp.isfinite(cj))
+        c = jnp.where(ok, c, jnp.where(okj, cj, 0.0))
+        ok = ok | okj
+    from jax.scipy.linalg import cho_solve
+    return cho_solve((c, True), b)
 
 
 from ..utils.pytree import struct as _struct
@@ -213,7 +237,7 @@ def conditional_mvn(gp, cov_fn, pts, dts, dirs, cond_pts, cond_dts, cond_dirs,
         s22 = K_all[nc:, nc:]
         m1, m2 = m_all[:nc], m_all[nc:]
         ids = ids_all[nc:]
-    solved = (pseudo_inverse(s11) @ s12).T  # [N, Nc]
+    solved = psd_solve(s11, s12).T  # [N, Nc]
     mean = m2 + solved @ (cond_vals - m1)
     s2 = s22 - solved @ s12
     return mean, _sqrt_psd(0.5 * (s2 + s2.T)), ids

@@ -321,27 +321,46 @@ def make_value_at_1d(cfg, gp, coeff1, ro, rd, pss, scene_seed):
     rwx, rwy, rwz = ro[:, 0], ro[:, 1], ro[:, 2]
     dwx, dwy, dwz = rd[:, 0], rd[:, 1], rd[:, 2]
 
-    def value_at(t):
-        pw = jnp.stack([rwx + t * dwx, rwy + t * dwy, rwz + t * dwz],
-                       axis=-1)
-        pz = pz0 + t * dpz
+    # SE-family 1D splat exp(-0.5 (kr d)^2) -> the scalar Mosaic 1D kernel
+    # (noise1D, SparseConvolutionNoise.cpp:397-428); other stationary
+    # covariances keep the unrolled-XLA sum with cov.splat1_val_grad
+    from .covariance import SquaredExponentialCov
+    pallas_1d = _use_pallas() and isinstance(cov, SquaredExponentialCov)
+
+    def _lattice1(pz, seed):
+        if pallas_1d:
+            import jax as _jax
+            from . import sparse_conv_pallas as scp
+            shape = pz.shape
+            out = scp.noise1d_sum(
+                pz.reshape(-1), jnp.broadcast_to(seed, shape).reshape(-1),
+                kr, 0.5 * kr * kr, impulse_count=K,
+                interpret=_jax.default_backend() == "cpu")
+            return out.reshape(shape)
         tg = pz / kr
         b = jnp.floor(tg)
         fr = tg - b
         i0 = b.astype(jnp.int32).astype(jnp.uint32)
         total = jnp.zeros_like(pz)
+        pw_dummy = None
         for off in (-1, 0, 1):
             cell = i0 + np.uint32(off & 0xFFFFFFFF)
-            h = rng.xxhash32_2(cell, seed0) + _U1
+            h = rng.xxhash32_2(cell, seed) + _U1
             q = fr - np.float32(off)
             for k in range(K):
                 ti = rng.uniform(h, np.uint32(2 * k))
                 w = jnp.where(rng.uniform(h, np.uint32(2 * k + 1)) < 0.5,
                               -1.0, 1.0)
                 d = q - ti
-                sval, _ = cov.splat1_val_grad(kr * d, pw, rd)
+                sval, _ = cov.splat1_val_grad(kr * d, pw_dummy, None)
                 total = total + jnp.where(d * d < 1.0, w * sval, 0.0)
-        val = total * inv_norm
+        return total
+
+    def value_at(t):
+        pw = jnp.stack([rwx + t * dwx, rwy + t * dwy, rwz + t * dwz],
+                       axis=-1)
+        pz = pz0 + t * dpz
+        val = _lattice1(pz, seed0) * inv_norm
         if use_cond:
             dtc = pz - oz
             cv, _ = cov.cov1_val_grad(dtc, pw, o_world, rdi)

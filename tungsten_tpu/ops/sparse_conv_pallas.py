@@ -284,6 +284,118 @@ def _noise3d_sum_pallas_s(p_space, seed, kernel_r, m6, impulse_count=3,
     return out.reshape(-1)[:n]
 
 
+# ---------------------------------------------------------------------------
+# 1D (along-ray) lattice sum — the mirror-1d hot loop as a Mosaic kernel
+# (noise1D/cell1D, SparseConvolutionNoise.cpp:397-428).  3 cells x K
+# impulses on the iso-ray z axis; splat exp(-a d^2) with a = qm*kr^2/2
+# folded by the caller (SE-family 1D splats, GPFunctions.hpp splat kernels).
+# ---------------------------------------------------------------------------
+
+
+def _lattice_sum_1d(pz, seed, kr, inv_r, impulse_count):
+    """3-cell x K impulse 1D sum; pz/seed are same-shaped arrays; kr and
+    inv_r are scalars (cell radius and its reciprocal).  The SE-family 1D
+    splat exp(-0.5 (kr d)^2) is computed in the same operation order as the
+    XLA twin (sparse_conv_fast.make_value_at_1d) for bit-exact parity.
+    Shared by the Mosaic kernel and the XLA backward re-trace."""
+    tg = pz * inv_r
+    b = jnp.floor(tg)
+    fr = tg - b
+    i0 = b.astype(jnp.int32).astype(jnp.uint32)
+    total = jnp.zeros_like(pz)
+    for off in (-1, 0, 1):
+        cell = i0 + np.uint32(off & 0xFFFFFFFF)
+        h = _xxhash32_2(cell, seed) + np.uint32(1)
+        q = fr - np.float32(off)
+        for k in range(impulse_count):
+            ti = _u01(_xxhash32_2(h, np.uint32(2 * k)))
+            w = jnp.where(_u01(_xxhash32_2(h, np.uint32(2 * k + 1))) < 0.5,
+                          -1.0, 1.0)
+            d = q - ti
+            dt = kr * d
+            total = total + jnp.where(d * d < 1.0,
+                                      w * jnp.exp(-0.5 * dt * dt), 0.0)
+    return total
+
+
+def _noise_kernel_1d(impulse_count, params_ref, pz_ref, seed_ref, out_ref):
+    """params (SMEM, (1, 2)): [kr, inv_r]."""
+    out_ref[:] = _lattice_sum_1d(pz_ref[:], seed_ref[:], params_ref[0, 0],
+                                 params_ref[0, 1], impulse_count)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _noise1d_sum(pz, seed, kr, inv_r, impulse_count, interpret):
+    return _noise1d_sum_fwd(pz, seed, kr, inv_r, impulse_count,
+                            interpret)[0]
+
+
+def _noise1d_sum_fwd(pz, seed, kr, inv_r, impulse_count, interpret):
+    out = _noise1d_sum_pallas(pz, seed, kr, inv_r,
+                              impulse_count=impulse_count,
+                              interpret=interpret)
+    return out, (pz, seed, kr, inv_r)
+
+
+def _noise1d_sum_bwd(impulse_count, interpret, res, g):
+    pz, seed, kr, inv_r = res
+    _, vjp = jax.vjp(
+        lambda p, a, ir: _lattice_sum_1d(p, seed, a, ir, impulse_count),
+        pz, kr, inv_r)
+    dp, dkr, dir_ = vjp(g)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dp, dseed, dkr, dir_
+
+
+_noise1d_sum.defvjp(_noise1d_sum_fwd, _noise1d_sum_bwd)
+
+
+def noise1d_sum(pz, seed, kernel_r, impulse_count=3, interpret=False):
+    """Raw 3-cell 1D impulse sum at iso-ray coordinates pz [N] with per-ray
+    seeds [N]; kernel_r: scalar cell radius (SE-family splat
+    exp(-0.5 (kernel_r d)^2), d in cell units).  Differentiable w.r.t.
+    pz / kernel_r (custom VJP; XLA backward)."""
+    kr = jnp.asarray(kernel_r, jnp.float32)
+    return _noise1d_sum(jnp.asarray(pz, jnp.float32),
+                        jnp.asarray(seed, jnp.uint32),
+                        kr, 1.0 / kr,
+                        int(impulse_count), bool(interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("impulse_count", "interpret"))
+def _noise1d_sum_pallas(pz, seed, kr, inv_r, impulse_count=3,
+                        interpret=False):
+    n = pz.shape[0]
+    n_pad = -(-n // BLK) * BLK
+    pad = n_pad - n
+
+    def prep(x, dtype):
+        x = jnp.pad(x.astype(dtype), (0, pad))
+        return x.reshape(n_pad // LANES, LANES)
+
+    pzp = prep(pz, jnp.float32)
+    sd = prep(seed, jnp.uint32)
+    params = jnp.stack([kr, inv_r]).reshape(1, 2).astype(jnp.float32)
+
+    grid = (n_pad // BLK,)
+    vspec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_noise_kernel_1d, impulse_count),
+        out_shape=jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            vspec, vspec,
+        ],
+        out_specs=vspec,
+        interpret=interpret,
+    )(params, pzp, sd)
+
+    return out.reshape(-1)[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("impulse_count", "interpret"))
 def _noise3d_sum_pallas(p_space, seed, kernel_r, qm, m6, impulse_count=3,
                         interpret=False):
