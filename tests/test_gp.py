@@ -149,3 +149,31 @@ def test_constrained_mvn_rejection():
     # unconstrained entries keep ~N(0,1) stats
     assert abs(vals[:, 1:].mean()) < 0.1
     assert abs(vals[:, 1:].std() - 1.0) < 0.1
+
+
+def test_newton_schulz_sqrt_and_inverse():
+    """The TPU matmul-only root/inverse (Newton-Schulz) reproduces
+    B B^T ~= A and A^-1 across condition numbers covering the FS
+    conditioning systems (run explicitly on CPU; _use_eigh normally
+    routes CPU to eigh)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from tungsten_tpu.ops import gp as gpmod
+
+    rng = np.random.default_rng(0)
+    for cond in (1e2, 1e4, 1e6):
+        n = 33
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        w = np.geomspace(1.0, 1.0 / cond, n)
+        a = (q * w) @ q.T
+        a = 0.5 * (a + a.T)
+        A = jnp.asarray(a, jnp.float32)
+        Y, Z, s = gpmod._ns_sqrt_pair(A, jitter=1e-5)
+        B = np.asarray(Y * jnp.sqrt(s))
+        err = np.abs(B @ B.T - a).max() / np.abs(a).max()
+        assert err < 5e-3, (cond, err)
+        inv = np.asarray((Z @ Z) / s)
+        resid = np.abs(inv @ a - np.eye(n)).max()
+        # ill-conditioned tail is floored by the relative jitter, exactly
+        # like the Cholesky ladder it replaces
+        assert resid < np.sqrt(cond) * 5e-4 + 5e-2, (cond, resid)

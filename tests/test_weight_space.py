@@ -170,3 +170,49 @@ def test_sphere_trace_batch_matches_vmapped():
     assert bool(jnp.all(hit_v == hit_b)), (hit_v, hit_b)
     np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_v),
                                rtol=0, atol=2e-3)
+
+
+def test_fixed_march_batch_matches_generic():
+    """WS fixed-step march kernel (interpret mode) agrees with the generic
+    march through sample_distance: same hit set, same hit distances."""
+    import os
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tungsten_tpu.models import media as md
+    from tungsten_tpu.scene.parse import load_scene
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene, _ = load_scene(os.path.join(root, "scenes",
+                                       "gpis-weight-space.json"))
+    med = scene.media[0]
+    assert med.step_size > 0 and not med.ws_sphere_trace
+    R = 48
+    ths = jnp.linspace(-0.25, 0.25, R)
+    ro = jnp.tile(jnp.array([[0.0, 0.9, 2.2]]), (R, 1))
+    rd = jnp.stack([jnp.sin(ths), jnp.zeros(R), -jnp.cos(ths)], axis=-1)
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    near, far = jnp.full(R, 0.5), jnp.full(R, 4.0)
+    state = md.MediumState.make(R)
+    pss = jnp.stack([jnp.arange(R, dtype=jnp.uint32),
+                     jnp.full(R, 3, jnp.uint32), jnp.zeros(R, jnp.uint32),
+                     jnp.zeros(R, jnp.uint32)], axis=-1)
+    uj = jnp.full(R, 0.37)
+    act = jnp.ones(R, bool)
+
+    outs = {}
+    for flag in ("1", "0"):
+        os.environ["TUNGSTEN_TPU_PALLAS"] = flag
+        try:
+            res, _st = md.sample_distance(med, scene.scene_seed, ro, rd,
+                                          near, far, state, pss, uj, act)
+            outs[flag] = (np.asarray(res["exited"]), np.asarray(res["t"]))
+        finally:
+            del os.environ["TUNGSTEN_TPU_PALLAS"]
+    ex_k, t_k = outs["1"]
+    ex_g, t_g = outs["0"]
+    assert (~ex_k).sum() > 5, "no hits — test scene degenerate"
+    assert (ex_k == ex_g).all(), (ex_k, ex_g)
+    hits = ~ex_k
+    np.testing.assert_allclose(t_k[hits], t_g[hits], rtol=0, atol=2e-3)

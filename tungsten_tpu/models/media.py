@@ -818,8 +818,29 @@ def sample_distance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
         m = {"hit": hit_st & active, "t": jnp.where(active, t_st, far_d),
              "sign0": jnp.ones_like(t_st)}
     else:
-        m = march(med_d, value_at_d, ro_d, rd_d, near_d, far_d, state_d,
-                  pss, u_jitter, active)
+        from ..ops import ws_trace_pallas as wst
+        from ..ops.sparse_conv_fast import _use_pallas as _scp_on
+        if (med.kind == GPIS_WEIGHT_SPACE and wst.supports(med_d.gp)
+                and _scp_on()):
+            # fixed-step WS march with the basis VMEM-resident (BASELINE
+            # config 4a, step_size > 0) — same contract/semantics as march()
+            import jax as _jax
+            real_b = jax.vmap(lambda ps: _ws_real(med_d, ps, scene_seed))(
+                pss)
+            step_w = jnp.minimum(med_d.step_size,
+                                 (far_d - near_d) / med_d.min_step)
+            step_w = jnp.maximum(step_w, 1e-6)
+            m = wst.fixed_march_batch(
+                real_b, med_d.gp, ro_d, rd_d, near_d, far_d, step_w,
+                u_jitter, ~state_d.first_scatter, active=active,
+                max_steps=med_d.max_march_steps,
+                interpret=_jax.default_backend() == "cpu")
+            m = {"hit": m["hit"] & active,
+                 "t": jnp.where(active, m["t"], far_d),
+                 "sign0": m["sign0"]}
+        else:
+            m = march(med_d, value_at_d, ro_d, rd_d, near_d, far_d, state_d,
+                      pss, u_jitter, active)
 
     hit = m["hit"]
     t = m["t"]
@@ -941,6 +962,44 @@ def transmittance(med, scene_seed, ro, rd, near, far, state, pss, u_jitter,
     # fully-detached inputs so the while_loop never sees tangents
     med, ro, rd, near, far_eff, state = _detach(
         (med, ro, rd, near, far_eff, state))
+    if med.kind == GPIS_WEIGHT_SPACE and med.ws_sphere_trace:
+        # same adaptive range-bounded trace as sampleDistance — only the
+        # crossed/not bit is consumed (WeightSpaceGaussianProcessMedium
+        # inherits GaussianProcessMedium::transmittance's intersectGP call);
+        # r4 sent shadow rays through the generic fixed-step march whose
+        # [S,R,n] basis contractions dominated the WS pass (profiled at
+        # ~2x the camera trace, artifacts/profile_ws_r5.py)
+        from ..ops import ws_trace_pallas as wst
+        from ..ops.sparse_conv_fast import _use_pallas as _scp_on
+        near_st = near + jnp.where(state.first_scatter, 0.0, 2e-3)
+        if wst.supports(med.gp) and _scp_on():
+            import jax as _jax
+            real_b = jax.vmap(lambda ps: _ws_real(med, ps, scene_seed))(pss)
+            hit_st, _ = wst.sphere_trace_batch(
+                real_b, med.gp, ro, rd, near_st, far_eff,
+                interpret=_jax.default_backend() == "cpu")
+        else:
+            def one_st(o, d, nr, fr, ps):
+                real = _ws_real(med, ps, scene_seed)
+                return ws.sphere_trace_segment(real, med.gp, o, d, nr, fr)
+            hit_st, _ = jax.vmap(one_st)(ro, rd, near_st, far_eff, pss)
+        t1 = jnp.where(active, jnp.where(hit_st, 0.0, 1.0), 1.0)
+        return jnp.broadcast_to(t1[:, None], (t1.shape[0], 3))
+    from ..ops import ws_trace_pallas as wst
+    from ..ops.sparse_conv_fast import _use_pallas as _scp_on
+    if (med.kind == GPIS_WEIGHT_SPACE and wst.supports(med.gp)
+            and _scp_on()):
+        import jax as _jax
+        real_b = jax.vmap(lambda ps: _ws_real(med, ps, scene_seed))(pss)
+        step_w = jnp.minimum(med.step_size, (far_eff - near) / med.min_step)
+        step_w = jnp.maximum(step_w, 1e-6)
+        m = wst.fixed_march_batch(
+            real_b, med.gp, ro, rd, near, far_eff, step_w, u_jitter,
+            ~state.first_scatter, active=active,
+            max_steps=med.max_march_steps, refine=False,
+            interpret=_jax.default_backend() == "cpu")
+        t1 = jnp.where(active, jnp.where(m["hit"], 0.0, 1.0), 1.0)
+        return jnp.broadcast_to(t1[:, None], (t1.shape[0], 3))
     state = _precondition(med, scene_seed, ro, rd, near, state, pss, active)
     value_at = make_value_at(med, scene_seed, ro, rd, near, state, pss)
     m = march(med, value_at, ro, rd, near, far_eff, state, pss, u_jitter,

@@ -79,34 +79,57 @@ def _use_eigh():
     return _jax.default_backend() == "cpu"
 
 
-def _sqrt_psd(a, jitter=1e-6):
-    """Matrix square root: Cholesky with diagonal jitter; eigh fallback on
-    CPU, escalated-jitter Cholesky on TPU
-    (MultivariateNormalDistribution ctor, Gaussian.cpp:122-170).
+_NS_ITERS = 16
+
+
+def _ns_sqrt_pair(a, jitter, iters=_NS_ITERS):
+    """Coupled Newton-Schulz iteration: returns (Y ~ sqrt(A)/sqrt(s),
+    Z ~ sqrt(s) inv(sqrt(A)), s) for A = a + jitter*scale*I.
+
+    Pure batched matmuls — on TPU this rides the MXU, where the XLA
+    cholesky custom-call for [R, n, n] batches of small n is the FS
+    bottleneck (85% of the pass, artifacts/profile_ws_r5.py on
+    gpis-function-space).  Trace normalization puts the spectrum in (0, 1]
+    so the iteration converges for any PSD A; the relative jitter floors
+    the smallest eigenvalue exactly like the Cholesky ladder did."""
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=a.dtype)
+    scale = jnp.maximum(jnp.trace(a) / n, 1e-12)
+    A = a + jitter * scale * eye
+    s = jnp.maximum(jnp.trace(A), 1e-12)
+    Y = A / s
+    Z = eye
+    for _ in range(iters):
+        T = 0.5 * (3.0 * eye - Z @ Y)
+        Y = Y @ T
+        Z = T @ Z
+    return Y, Z, s
+
+
+def _sqrt_psd(a, jitter=1e-5):
+    """Matrix square root for realization sampling: eigh on CPU, coupled
+    Newton-Schulz on TPU (MultivariateNormalDistribution ctor,
+    Gaussian.cpp:122-170).  Any B with B B^T = A is a valid sampling
+    root — the symmetric NS root replaces the r4 Cholesky ladder, whose
+    batched small-matrix factorizations dominated the FS pass on TPU.
 
     The jitter scale MUST track the matrix's own variance scale: r3 floored
     it at 1.0, so the escalation fallback added 1e-2 ABSOLUTE variance —
     ~3x the signal for the paper configs (sigma=0.06 -> var 3.6e-3) — and
     TPU FS renders lost most scatter events (blobs rendered dark vs the
-    CPU/eigh path).  Escalate relative jitter in decades instead."""
-    n = a.shape[-1]
-    eye = jnp.eye(n, dtype=a.dtype)
-    scale = jnp.maximum(jnp.trace(a) / n, 1e-12)
-    chol = jnp.linalg.cholesky(a + jitter * scale * eye)
-    ok = jnp.all(jnp.isfinite(chol))
+    CPU/eigh path).  Relative jitter instead."""
     if _use_eigh():
         w, v = jnp.linalg.eigh(a)
-        fb = v * jnp.sqrt(jnp.maximum(w, 1e-12))[None, :]
-        return jnp.where(ok, jnp.where(jnp.isfinite(chol), chol, 0.0), fb)
-    # two-rung ladder: base + one escalated fallback (r5 — the r4 ladder ran
-    # 4 unconditional factorizations; the per-chunk FS solve is O(n^3)-bound
-    # so each rung is ~25% of the solve.  1e-3 relative is the largest rung
-    # the r4 ladder could reach anyway)
-    out = jnp.where(jnp.isfinite(chol), chol, 0.0)
-    cj = jnp.linalg.cholesky(a + 1e-3 * scale * eye)
-    okj = jnp.all(jnp.isfinite(cj))
-    out = jnp.where(ok, out, jnp.where(okj, cj, 0.0))
-    return out
+        return v * jnp.sqrt(jnp.maximum(w, 1e-12))[None, :]
+    Y, _, s = _ns_sqrt_pair(a, jitter)
+    out = Y * jnp.sqrt(s)
+    ok = jnp.all(jnp.isfinite(out))
+    # non-finite safety net (spectrum pushed negative beyond the jitter by
+    # fp cancellation): diagonal-only root keeps the sample bounded
+    n = a.shape[-1]
+    diag_fb = jnp.eye(n, dtype=a.dtype) \
+        * jnp.sqrt(jnp.maximum(jnp.diagonal(a), 1e-12))[None, :]
+    return jnp.where(ok, jnp.where(jnp.isfinite(out), out, 0.0), diag_fb)
 
 
 def pseudo_inverse(a, eps_scale=1e-6):
@@ -139,25 +162,21 @@ def pseudo_inverse(a, eps_scale=1e-6):
 
 
 def psd_solve(a, b, eps_scale=1e-6):
-    """a^+ @ b for symmetric PSD a without forming the explicit inverse.
-    CPU: eigendecomposition pseudo-inverse (the reference's robust solver,
-    GaussianProcess.cpp:656-662).  TPU: two-rung relative-jitter Cholesky +
-    cho_solve on b directly — for b with k << n columns this does O(n^2 k)
-    triangular work instead of pseudo_inverse's O(n^3) explicit inverse."""
-    n = a.shape[-1]
+    """a^+ @ b for symmetric PSD a.  CPU: eigendecomposition pseudo-inverse
+    (the reference's robust solver, GaussianProcess.cpp:656-662).  TPU:
+    coupled Newton-Schulz — inv(A) = Z Z / s from the same matmul-only
+    iteration as _sqrt_psd (the batched-small-Cholesky custom call it
+    replaces dominated the FS pass)."""
     if _use_eigh():
         return pseudo_inverse(a, eps_scale) @ b
-    eye = jnp.eye(n, dtype=a.dtype)
-    scale = jnp.maximum(jnp.trace(jnp.abs(a)) / n, 1e-12)
-    c = jnp.zeros_like(a)
-    ok = jnp.zeros((), bool)
-    for j in (1e-5, 1e-2):
-        cj = jnp.linalg.cholesky(a + j * scale * eye)
-        okj = jnp.all(jnp.isfinite(cj))
-        c = jnp.where(ok, c, jnp.where(okj, cj, 0.0))
-        ok = ok | okj
-    from jax.scipy.linalg import cho_solve
-    return cho_solve((c, True), b)
+    _, Z, s = _ns_sqrt_pair(a, 1e-5)
+    inv = (Z @ Z) / s
+    out = inv @ b
+    ok = jnp.all(jnp.isfinite(out))
+    # non-finite safety net: diagonal inverse
+    dinv = 1.0 / jnp.maximum(jnp.diagonal(a), 1e-12)
+    fb = dinv[:, None] * b
+    return jnp.where(ok, jnp.where(jnp.isfinite(out), out, 0.0), fb)
 
 
 from ..utils.pytree import struct as _struct

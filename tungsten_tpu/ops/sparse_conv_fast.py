@@ -334,7 +334,7 @@ def make_value_at_1d(cfg, gp, coeff1, ro, rd, pss, scene_seed):
             shape = pz.shape
             out = scp.noise1d_sum(
                 pz.reshape(-1), jnp.broadcast_to(seed, shape).reshape(-1),
-                kr, 0.5 * kr * kr, impulse_count=K,
+                kr, impulse_count=K,
                 interpret=_jax.default_backend() == "cpu")
             return out.reshape(shape)
         tg = pz / kr
