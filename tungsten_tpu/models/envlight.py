@@ -169,8 +169,14 @@ def _perez(theta, gamma, c):
 
 
 def bake_preetham_sky(sun_dir, turbidity=3.0, res=(128, 256),
-                      intensity=2.0, gamma_scale=1.0):
-    """Preetham analytic sky -> linear RGB lat-long [H,W,3]."""
+                      intensity=2.0, gamma_scale=1.0, temperature=5777.0):
+    """Preetham analytic sky -> linear RGB lat-long [H,W,3].
+
+    `temperature` is the sun's blackbody temperature (Skydome.cpp:29,
+    passed to the Hosek alienworld state in the reference,
+    Skydome.cpp:302-303): the sky is tinted by the blackbody color at T
+    relative to the 5777 K solar default, via utils/spectral.py's analytic
+    CIE integration."""
     sun = np.asarray(sun_dir, np.float64)
     sun = sun / np.linalg.norm(sun)
     theta_s = np.arccos(np.clip(sun[1], -1, 1))
@@ -223,4 +229,9 @@ def bake_preetham_sky(sun_dir, turbidity=3.0, res=(128, 256),
     b = 0.0557 * X - 0.2040 * Y + 1.0570 * Z
     img = np.clip(np.stack([r, g, b], -1), 0.0, None)
     img[zen > np.pi / 2] *= 0.0  # ground half
+    if abs(temperature - 5777.0) > 1.0:
+        from ..utils.spectral import blackbody_rgb
+        tint = (np.asarray(blackbody_rgb(float(temperature)))
+                / np.maximum(np.asarray(blackbody_rgb(5777.0)), 1e-6))
+        img = img * tint[None, None, :]
     return img.astype(np.float32)

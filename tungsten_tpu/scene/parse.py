@@ -638,7 +638,8 @@ def parse_env(p: dict, base_dir: str):
         img = ev.bake_preetham_sky(
             sun, turbidity=float(p.get("turbidity", 3.0)),
             intensity=float(p.get("intensity", 2.0)),
-            gamma_scale=float(p.get("gamma_scale", 1.0)))
+            gamma_scale=float(p.get("gamma_scale", 1.0)),
+            temperature=float(p.get("temperature", 5777.0)))
         return ev.make_env(ev.ENV_MAP, emission=(1.0, 1.0, 1.0),
                            rot=np.eye(3, dtype=np.float32), img=img,
                            sample=sample)
