@@ -40,6 +40,24 @@ def _filter_warp(u, kind):
     return u - 0.5
 
 
+_FILTER_SUPPORT = {FILTER_BOX: 0.5, FILTER_TENT: 1.0, FILTER_GAUSSIAN: 1.5}
+
+
+def _filter_unwarp(uv, kind):
+    """Inverse of _filter_warp: sub-pixel offset -> uniform u in [0,1)
+    (exact on offsets within the filter's support — box 0.5, tent 1,
+    truncated gaussian 1.5 px)."""
+    if kind == FILTER_TENT:
+        u = jnp.where(uv < 0.0, 0.5 * (uv + 1.0) ** 2,
+                      1.0 - 0.5 * (1.0 - uv) ** 2)
+    elif kind == FILTER_GAUSSIAN:
+        from jax.scipy.special import erf
+        u = 0.5 * (1.0 + erf(uv / (0.5 * math.sqrt(2.0))))
+    else:
+        u = uv + 0.5
+    return jnp.clip(u, 0.0, 1.0 - 1e-6)
+
+
 @struct(meta=("res_x", "res_y", "kind", "filter_kind"))
 class Camera:
     transform: jnp.ndarray  # (4,4) camera-to-world
@@ -131,7 +149,9 @@ class Camera:
         """(px, py, u_filter[2], ok): pixel + sub-pixel jitter such that
         sample_ray(px, py, u_filter) emits direction rd (ReversibleJumpMLT
         camera-root inversion; PathVertex::invertRootVertex camera branch).
-        Pinhole/box-filter only; other kinds return ok=False."""
+        Pinhole with any reconstruction filter (box/tent/gaussian, via the
+        same-pixel preimage of the filter warp); equirect/cubemap return
+        ok=False, thinlens goes through invert_ray_lens."""
         local = jnp.einsum("ji,...j->...i", self.transform[:3, :3], rd,
                            precision="highest")
         lz = local[..., 2]
@@ -143,18 +163,63 @@ class Camera:
         yp = local[..., 1] / lz_safe * plane_dist
         pxf = (xp + 1.0) * (self.res_x * 0.5)
         pyf = (ratio - yp) * (self.res_x * 0.5)
-        px = jnp.floor(pxf).astype(jnp.int32)
-        py = jnp.floor(pyf).astype(jnp.int32)
-        ok = ok & (px >= 0) & (px < self.res_x) \
-            & (py >= 0) & (py < self.res_y)
-        # box filter: offset = u - 0.5, pixel center +0.5 -> u = frac
-        uf = jnp.stack([pxf - px.astype(jnp.float32),
-                        pyf - py.astype(jnp.float32)], axis=-1)
-        if self.kind != "pinhole" or self.filter_kind != FILTER_BOX:
+        px, py, uf, ok_f = self._invert_plane(pxf, pyf)
+        ok = ok & ok_f
+        if self.kind != "pinhole":
             ok = ok & False
-        return (jnp.clip(px, 0, self.res_x - 1),
-                jnp.clip(py, 0, self.res_y - 1),
-                jnp.clip(uf, 0.0, 1.0 - 1e-6), ok)
+        return px, py, uf, ok
+
+    def _invert_plane(self, pxf, pyf):
+        """Nearest-pixel preimage of a continuous image-plane position under
+        the reconstruction filter: a wide filter lets edge pixels place
+        samples slightly off-frame, so the preimage clamps into the frame
+        and accepts any offset within the filter's support."""
+        sup = _FILTER_SUPPORT[self.filter_kind] + 1e-4
+        px = jnp.clip(jnp.floor(pxf).astype(jnp.int32), 0, self.res_x - 1)
+        py = jnp.clip(jnp.floor(pyf).astype(jnp.int32), 0, self.res_y - 1)
+        ux = pxf - px.astype(jnp.float32) - 0.5
+        uy = pyf - py.astype(jnp.float32) - 0.5
+        ok = (jnp.abs(ux) <= sup) & (jnp.abs(uy) <= sup)
+        uf = jnp.stack([_filter_unwarp(ux, self.filter_kind),
+                        _filter_unwarp(uy, self.filter_kind)], axis=-1)
+        return px, py, jnp.clip(uf, 0.0, 1.0 - 1e-6), ok
+
+    def invert_ray_lens(self, ro, rd):
+        """Thinlens inversion: (px, py, u_filter[2], u_lens[2], ok) such
+        that sample_ray(px, py, u_filter, u_lens) emits (ro, rd)
+        (ThinlensCamera.cpp evalDirection / the lens branch of
+        invertRootVertex).  Pinhole falls back to invert_ray with
+        u_lens = 0."""
+        if self.kind != "thinlens":
+            px, py, uf, ok = self.invert_ray(rd)
+            return px, py, uf, jnp.zeros_like(uf), ok
+        R = self.transform[:3, :3]
+        lens = jnp.einsum("ji,...j->...i", R, ro - self.transform[:3, 3],
+                          precision="highest")
+        r = jnp.sqrt(lens[..., 0] ** 2 + lens[..., 1] ** 2)
+        ok = (r <= self.aperture * (1.0 + 1e-4)) \
+            & (jnp.abs(lens[..., 2]) < 1e-4)
+        u0 = jnp.clip((r / jnp.maximum(self.aperture, 1e-12)) ** 2,
+                      0.0, 1.0 - 1e-6)
+        phi = jnp.arctan2(lens[..., 1], lens[..., 0])
+        u1 = jnp.mod(phi / (2.0 * jnp.pi), 1.0)
+        u_lens = jnp.stack([u0, u1], axis=-1)
+        # focal-plane point hit by (lens, rd): its pre-lens direction from
+        # the lens center recovers the image-plane position
+        local_d = jnp.einsum("ji,...j->...i", R, rd, precision="highest")
+        dz = local_d[..., 2]
+        ok = ok & (dz > 1e-6)
+        dz_safe = jnp.where(dz > 1e-6, dz, 1.0)
+        focus_p = lens + local_d * (self.focus_dist
+                                    - lens[..., 2:3]) / dz_safe[..., None]
+        plane_dist = 1.0 / jnp.tan(jnp.deg2rad(self.fov_deg) * 0.5)
+        ratio = self.res_y / self.res_x
+        xp = focus_p[..., 0] / self.focus_dist * plane_dist
+        yp = focus_p[..., 1] / self.focus_dist * plane_dist
+        pxf = (xp + 1.0) * (self.res_x * 0.5)
+        pyf = (ratio - yp) * (self.res_x * 0.5)
+        px, py, uf, ok_f = self._invert_plane(pxf, pyf)
+        return px, py, uf, u_lens, ok & ok_f
 
     def sample_ray(self, px, py, u_filter, u_lens=None):
         """Ray for pixel (px, py) with sub-pixel jitter u_filter [2] in [0,1)

@@ -99,10 +99,15 @@ def _ns_sqrt_pair(a, jitter, iters=_NS_ITERS):
     s = jnp.maximum(jnp.trace(A), 1e-12)
     Y = A / s
     Z = eye
+    # HIGHEST: the TPU's default f32 matmul precision (bf16 passes) is not
+    # enough for the coupled iteration — the compounded rounding skewed the
+    # FS sampling root until the function-space/CSG goldens failed on TPU
+    # while the CPU (eigh) tier stayed green
+    P = jax.lax.Precision.HIGHEST
     for _ in range(iters):
-        T = 0.5 * (3.0 * eye - Z @ Y)
-        Y = Y @ T
-        Z = T @ Z
+        T = 0.5 * (3.0 * eye - jnp.matmul(Z, Y, precision=P))
+        Y = jnp.matmul(Y, T, precision=P)
+        Z = jnp.matmul(T, Z, precision=P)
     return Y, Z, s
 
 
@@ -170,8 +175,9 @@ def psd_solve(a, b, eps_scale=1e-6):
     if _use_eigh():
         return pseudo_inverse(a, eps_scale) @ b
     _, Z, s = _ns_sqrt_pair(a, 1e-5)
-    inv = (Z @ Z) / s
-    out = inv @ b
+    P = jax.lax.Precision.HIGHEST
+    inv = jnp.matmul(Z, Z, precision=P) / s
+    out = jnp.matmul(inv, b, precision=P)
     ok = jnp.all(jnp.isfinite(out))
     # non-finite safety net: diagonal inverse
     dinv = 1.0 / jnp.maximum(jnp.diagonal(a), 1e-12)
